@@ -1,0 +1,79 @@
+"""Dense linear solver: full normal equations + Cholesky.
+
+Parity: Ceres ``DENSE_NORMAL_CHOLESKY`` (SURVEY.md §2 C14) — for small
+problems and as the exact oracle the Schur path is cross-checked against
+(mirrors Ceres's eliminator tests).  Includes Ceres-style Jacobi column
+scaling and optional iterative refinement for f32 robustness on TPU
+(SURVEY.md §7.2 item 1).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..problem.types import Params, Problem
+from . import assembly, residuals
+from .options import SolverOptions
+
+
+def cholesky_solve(A: jax.Array, b: jax.Array,
+                   refinement_steps: int = 0) -> jax.Array:
+    """Solve A x = b via Cholesky with optional iterative refinement."""
+    L = jnp.linalg.cholesky(A)
+
+    def chol_apply(rhs):
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+    x = chol_apply(b)
+    for _ in range(refinement_steps):
+        x = x + chol_apply(b - A @ x)
+    return x
+
+
+def lm_damped_system(H: jax.Array, g: jax.Array, radius: jax.Array,
+                     options: SolverOptions):
+    """Build the scaled, damped system; returns (A, rhs, unscale vector).
+
+    Jacobi scaling s = 1/(1+√diag(H)) (Ceres's column scaling), dead
+    dimensions (constant blocks → zero diag) pinned with identity, LM
+    diagonal clamped to [min_lm_diagonal, max_lm_diagonal] and divided by
+    the trust-region radius.
+    """
+    diag = jnp.diagonal(H)
+    dead = diag <= 0.0
+    s = jnp.where(dead, 1.0, 1.0 / (1.0 + jnp.sqrt(jnp.maximum(diag, 0.0))))
+    Hs = H * s[:, None] * s[None, :]
+    gs = g * s
+    diag_s = jnp.diagonal(Hs)
+    lm_diag = jnp.clip(diag_s, options.min_lm_diagonal,
+                       options.max_lm_diagonal) / radius
+    A = Hs + jnp.diag(lm_diag + jnp.where(dead, 1.0, 0.0))
+    return A, -gs, s
+
+
+def make_dense_solver(problem: Problem, options: SolverOptions):
+    """Returns (prepare, solve_step) jittable closures for the LM driver."""
+
+    def prepare(params: Params):
+        ev = residuals.evaluate(params, problem, with_jacobians=True)
+        shapes = assembly.tangent_shapes(problem, params)
+        H, g = assembly.dense_normal_equations(ev, problem, shapes)
+        return {
+            "cost": ev.cost,
+            "H": H,
+            "g": g,
+            "gradient_max_norm": jnp.max(jnp.abs(g)),
+        }
+
+    def solve_step(aux, radius):
+        H, g = aux["H"], aux["g"]
+        A, rhs, s = lm_damped_system(H, g, radius, options)
+        y = cholesky_solve(A, rhs, options.refinement_steps)
+        dx = s * y
+        # Predicted decrease of the Gauss-Newton model (undamped H):
+        # −gᵀδ − ½ δᵀHδ  (Ceres model_cost_change).
+        predicted = -(g @ dx) - 0.5 * dx @ (H @ dx)
+        return dx, predicted, jnp.asarray(0, jnp.int32)
+
+    return prepare, solve_step

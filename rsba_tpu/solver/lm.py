@@ -1,0 +1,231 @@
+"""Levenberg–Marquardt trust-region driver.
+
+Parity: Ceres ``TrustRegionMinimizer`` + ``LevenbergMarquardtStrategy``
+(SURVEY.md §2 C17, §3.1): damping λ = 1/μ, step acceptance by relative
+decrease ρ, Ceres's exact radius update rules, and the same convergence
+tests (gradient / function / parameter tolerance).
+
+TPU mapping (SURVEY.md §3.1): the outer loop runs host-side; each phase
+(evaluate+assemble, damped solve, candidate cost) is one jitted on-device
+computation.  λ retries re-enter only the damped-solve jit — the Jacobian
+is not re-evaluated, matching Ceres's evaluator reuse.  A fully on-device
+`lax.while_loop` variant lives in `fused.py` (built once semantics froze —
+SURVEY.md §7.2 item 5).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..problem.types import Params, Problem
+from . import assembly, residuals
+from .options import SolverOptions
+from .summary import IterationSummary, Summary
+
+
+def _rmse(sq_px_sum: float, n_valid: float) -> float:
+    return float(jnp.sqrt(sq_px_sum / jnp.maximum(n_valid, 1.0)))
+
+
+def make_solver_fns(problem: Problem, options: SolverOptions):
+    """Build the jitted phase functions for a given problem structure."""
+    if options.linear_solver == "dense":
+        from .dense import make_dense_solver
+        prepare, solve_step = make_dense_solver(problem, options)
+    elif options.linear_solver == "dense_schur":
+        from .schur import make_dense_schur_solver
+        prepare, solve_step = make_dense_schur_solver(problem, options)
+    elif options.linear_solver == "iterative_schur":
+        from .pcg import make_iterative_schur_solver
+        prepare, solve_step = make_iterative_schur_solver(problem, options)
+    else:
+        raise ValueError(options.linear_solver)
+
+    shapes_cache = {}
+
+    def apply_step(params: Params, dx: jax.Array):
+        shapes = assembly.tangent_shapes(problem, params)
+        d_pose, d_intr, d_pt = assembly.unflatten_tangent(dx, shapes)
+        new_params = residuals.apply_tangent(params, problem, d_pose, d_intr,
+                                             d_pt)
+        step_norm = jnp.linalg.norm(dx)
+        x_norm = jnp.sqrt(
+            jnp.sum(params.c ** 2) + jnp.sum(params.points ** 2)
+            + jnp.sum(params.q ** 2) + jnp.sum(params.intr ** 2))
+        return new_params, step_norm, x_norm
+
+    def cost_fn(params: Params):
+        return residuals.cost_only(params, problem)
+
+    def error_stats(params: Params):
+        sq = residuals.squared_pixel_error(params, problem)
+        return sq, jnp.sum(problem.obs.mask)
+
+    return {
+        "prepare": jax.jit(prepare),
+        "solve_step": jax.jit(solve_step),
+        "apply_step": jax.jit(apply_step),
+        "cost": jax.jit(cost_fn),
+        "error_stats": jax.jit(error_stats),
+    }
+
+
+def solve(problem: Problem, params: Params,
+          options: SolverOptions = SolverOptions(),
+          callback: Optional[Callable] = None) -> Tuple[Params, Summary]:
+    """Run LM to convergence.  Returns (optimized params, Summary).
+
+    ``callback(iteration, params, iteration_summary)`` is invoked after
+    every accepted step — parity with ``ceres::IterationCallback``
+    (checkpointing hooks onto this, SURVEY.md §5.4).
+    """
+    t_start = time.perf_counter()
+    fns = make_solver_fns(problem, options)
+    summary = Summary(linear_solver=options.linear_solver)
+    shapes = assembly.tangent_shapes(problem, params)
+    summary.num_residuals = int(2 * jnp.sum(problem.obs.mask))
+    summary.num_parameters_tangent = shapes.total_dim
+
+    sq0, n_valid = fns["error_stats"](params)
+    summary.initial_rmse = _rmse(sq0, n_valid)
+    summary.preprocessing_time = time.perf_counter() - t_start
+
+    radius = options.initial_radius
+    decrease_factor = 2.0
+    invalid_steps = 0
+    cost = None
+    terminated = False
+
+    for iteration in range(options.max_iterations):
+        it_t0 = time.perf_counter()
+        t0 = time.perf_counter()
+        aux = fns["prepare"](params)
+        aux["cost"].block_until_ready()
+        summary.evaluation_time += time.perf_counter() - t0
+        cost = float(aux["cost"])
+        gmax = float(aux["gradient_max_norm"])
+        if summary.num_iterations == 0:
+            summary.initial_cost = cost
+        if not jnp.isfinite(cost):
+            summary.termination = "FAILURE"
+            summary.message = "non-finite cost"
+            terminated = True
+            break
+        if gmax <= options.gradient_tolerance:
+            summary.termination = "CONVERGENCE"
+            summary.message = (f"gradient tolerance reached: "
+                               f"{gmax:.3e} <= {options.gradient_tolerance}")
+            terminated = True
+            break
+
+        accepted = False
+        new_params = params
+        rho = 0.0
+        step_norm = 0.0
+        new_cost = cost
+        lin_iters = 0
+        while not accepted and radius >= options.min_radius:
+            t0 = time.perf_counter()
+            dx, predicted, li = fns["solve_step"](
+                aux, jnp.asarray(radius, dtype=aux["cost"].dtype))
+            dx.block_until_ready()
+            summary.linear_solver_time += time.perf_counter() - t0
+            lin_iters = int(li)
+            cand, snorm, x_norm = fns["apply_step"](params, dx)
+            pred = float(predicted)
+            step_norm = float(snorm)
+            if not (jnp.all(jnp.isfinite(dx)) and pred > 0
+                    and jnp.isfinite(pred)):
+                # Invalid step: shrink and retry (Ceres counts these).
+                invalid_steps += 1
+                radius /= decrease_factor
+                decrease_factor *= 2.0
+                if invalid_steps > options.max_invalid_steps:
+                    summary.termination = "FAILURE"
+                    summary.message = "too many consecutive invalid steps"
+                    terminated = True
+                break
+            invalid_steps = 0
+            new_cost = float(fns["cost"](cand))
+            rho = (cost - new_cost) / pred
+            if jnp.isfinite(new_cost) and rho > options.min_relative_decrease:
+                accepted = True
+                new_params = cand
+                # Ceres radius growth: μ ← μ / max(1/3, 1 − (2ρ−1)³)
+                radius = min(
+                    radius / max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
+                    options.max_radius)
+                decrease_factor = 2.0
+            else:
+                radius /= decrease_factor
+                decrease_factor *= 2.0
+                # Stagnation: both the model's predicted decrease and the
+                # actual change are below function tolerance — the optimum
+                # is resolved to working precision (matters in f32 on TPU,
+                # where Ceres's accepted-step-only ftol test would instead
+                # spiral the radius to min over many rejected solves).
+                if (pred <= options.function_tolerance * cost
+                        and abs(cost - new_cost)
+                        <= options.function_tolerance * cost):
+                    summary.termination = "CONVERGENCE"
+                    summary.message = ("function tolerance reached "
+                                       "(stagnant rejected step)")
+                    terminated = True
+
+            it = IterationSummary(
+                iteration=summary.num_iterations, cost=new_cost if accepted
+                else cost, cost_change=cost - new_cost,
+                gradient_max_norm=gmax, step_norm=step_norm,
+                relative_decrease=float(rho), trust_region_radius=radius,
+                accepted=accepted, linear_solver_iterations=lin_iters,
+                wall_time=time.perf_counter() - it_t0)
+            summary.iterations.append(it)
+            if accepted:
+                summary.num_successful_steps += 1
+            else:
+                summary.num_unsuccessful_steps += 1
+            if options.verbose:
+                print(f"  iter {it.iteration:3d} cost {it.cost:.6e} "
+                      f"|g| {gmax:.3e} step {step_norm:.3e} "
+                      f"rho {rho:+.3f} radius {radius:.2e} "
+                      f"{'ACCEPT' if accepted else 'reject'}")
+
+            if accepted:
+                params = new_params
+                if callback is not None:
+                    callback(summary.num_iterations, params, it)
+                # Convergence tests (Ceres ordering: after accepted step).
+                cost_change = cost - new_cost
+                if abs(cost_change) <= options.function_tolerance * cost:
+                    summary.termination = "CONVERGENCE"
+                    summary.message = (
+                        f"function tolerance reached: |Δcost|/cost = "
+                        f"{abs(cost_change)/max(cost,1e-30):.3e}")
+                    terminated = True
+                elif step_norm <= options.parameter_tolerance * (
+                        float(x_norm) + options.parameter_tolerance):
+                    summary.termination = "CONVERGENCE"
+                    summary.message = "parameter tolerance reached"
+                    terminated = True
+            if terminated:
+                break
+
+        if radius < options.min_radius and not accepted:
+            summary.termination = "CONVERGENCE"
+            summary.message = "trust region radius below minimum"
+            terminated = True
+        if terminated:
+            break
+
+    if not terminated:
+        summary.termination = "NO_CONVERGENCE"
+        summary.message = f"max iterations ({options.max_iterations}) reached"
+
+    summary.final_cost = float(fns["cost"](params))
+    sqf, n_valid = fns["error_stats"](params)
+    summary.final_rmse = _rmse(sqf, n_valid)
+    summary.total_time = time.perf_counter() - t_start
+    return params, summary

@@ -1,0 +1,56 @@
+"""Solver configuration — parity with ``ceres::Solver::Options`` (SURVEY.md
+§2 C23), trimmed to the knobs that exist in this framework."""
+from __future__ import annotations
+
+import dataclasses
+
+LINEAR_SOLVERS = ("dense", "dense_schur", "iterative_schur")
+PRECONDITIONERS = ("jacobi", "schur_jacobi")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Static solver knobs (hashable → jit-stable).
+
+    Trust-region semantics follow Ceres's Levenberg-Marquardt strategy:
+    damping λ = 1/μ with μ the trust-region radius, radius grown by
+    1/max(1/3, 1−(2ρ−1)³) on accepted steps and halved-with-backoff on
+    rejections.
+    """
+    # Outer loop
+    max_iterations: int = 50
+    initial_radius: float = 1e4
+    max_radius: float = 1e16
+    min_radius: float = 1e-32
+    min_relative_decrease: float = 1e-3
+    function_tolerance: float = 1e-6
+    gradient_tolerance: float = 1e-10
+    parameter_tolerance: float = 1e-8
+    max_invalid_steps: int = 5         # consecutive non-finite-step budget
+
+    # Linear solver
+    linear_solver: str = "dense_schur"
+    preconditioner: str = "schur_jacobi"
+    min_lm_diagonal: float = 1e-6
+    max_lm_diagonal: float = 1e32
+    jacobi_scaling: bool = True
+    # PCG (iterative_schur): max iterations and the forcing-sequence eta
+    # (Ceres: Solver::Options::max_linear_solver_iterations / eta).
+    max_cg_iterations: int = 100
+    cg_eta: float = 1e-2
+    # Iterative refinement sweeps after dense Cholesky (f32 robustness —
+    # SURVEY.md §7.2 item 1).
+    refinement_steps: int = 1
+
+    # Reporting
+    verbose: bool = False
+
+    def __post_init__(self):
+        if self.linear_solver not in LINEAR_SOLVERS:
+            raise ValueError(
+                f"linear_solver must be one of {LINEAR_SOLVERS}, "
+                f"got {self.linear_solver!r}")
+        if self.preconditioner not in PRECONDITIONERS:
+            raise ValueError(
+                f"preconditioner must be one of {PRECONDITIONERS}, "
+                f"got {self.preconditioner!r}")
