@@ -71,9 +71,12 @@ def make_dense_solver(problem: Problem, options: SolverOptions):
         A, rhs, s = lm_damped_system(H, g, radius, options)
         y = cholesky_solve(A, rhs, options.refinement_steps)
         dx = s * y
-        # Predicted decrease of the Gauss-Newton model (undamped H):
-        # −gᵀδ − ½ δᵀHδ  (Ceres model_cost_change).
-        predicted = -(g @ dx) - 0.5 * dx @ (H @ dx)
+        # Predicted decrease via the cancellation-free LM identity
+        # ½(δᵀλD²δ − gᵀδ) (see schur.py solve_step) — in scaled space,
+        # where the damped system is (Hs + diag(lm))y = −gs.
+        lm_diag = jnp.diagonal(A) - jnp.diagonal(H * s[:, None] * s[None, :])
+        gs = g * s
+        predicted = 0.5 * (jnp.sum(lm_diag * y * y) - gs @ y)
         return dx, predicted, jnp.asarray(0, jnp.int32)
 
     return prepare, solve_step

@@ -64,12 +64,22 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         sq = residuals.squared_pixel_error(params, problem)
         return sq, jnp.sum(problem.obs.mask)
 
+    def _wrap(f):
+        """jit under the configured matmul precision (active at trace time)."""
+        jf = jax.jit(f)
+
+        def call(*args):
+            with jax.default_matmul_precision(options.matmul_precision):
+                return jf(*args)
+
+        return call
+
     return {
-        "prepare": jax.jit(prepare),
-        "solve_step": jax.jit(solve_step),
-        "apply_step": jax.jit(apply_step),
-        "cost": jax.jit(cost_fn),
-        "error_stats": jax.jit(error_stats),
+        "prepare": _wrap(prepare),
+        "solve_step": _wrap(solve_step),
+        "apply_step": _wrap(apply_step),
+        "cost": _wrap(cost_fn),
+        "error_stats": _wrap(error_stats),
     }
 
 

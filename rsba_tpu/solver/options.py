@@ -41,6 +41,11 @@ class SolverOptions:
     # Iterative refinement sweeps after dense Cholesky (f32 robustness —
     # SURVEY.md §7.2 item 1).
     refinement_steps: int = 1
+    # Matmul precision for solver computations.  On TPU the default lowers
+    # f32 matmuls to bf16 passes (~8 mantissa bits) — catastrophic for
+    # normal equations (measured: 5%-worse final cost, 40 vs 6 LM iters).
+    # "highest" forces full f32 accumulation on the MXU.
+    matmul_precision: str = "highest"
 
     # Reporting
     verbose: bool = False

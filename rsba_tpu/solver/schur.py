@@ -1,0 +1,294 @@
+"""Schur-complement solver: landmark elimination + dense blocked Cholesky.
+
+Parity: Ceres ``DENSE_SCHUR`` — ``SchurEliminator`` + dense Cholesky of the
+reduced camera system (SURVEY.md §2 C12-C14, §3.1 hot loops #1-2).
+
+TPU-native formulation: instead of Ceres's per-point outer-product scatter
+into a block-sparse S, we materialize the **camera-point matrix Eᵀ densely
+per point** — shape (M, 3, Dc) — and form
+
+    E C_λ⁻¹ Eᵀ = Σ_j A_jᵀ (C_λ⁻¹)_j A_j = einsum('mjd,mje->de', A, C_λ⁻¹A)
+
+one big (3M × Dc)ᵀ(3M × Dc) matmul that maps straight onto the MXU,
+chunked over points when A would not fit memory.  The per-point 3×3
+inverses are a batched closed-form solve (hot loop #2's 3×3 inverts,
+vectorized).  Landmarks never enter the factored system (SURVEY.md §5.7).
+
+Tangent layout: camera vector x_cam = [poses (P·6) | intrinsics (K·ni)],
+points eliminated.  Column bases: pose p → p·6, intr k → 6P + k·ni.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..problem.types import POSE_DOF, Params, Problem
+from . import assembly, residuals
+from .options import SolverOptions
+from .residuals import Evaluation
+
+
+class CamEntry(NamedTuple):
+    """One camera-side Jacobian slot: J (N,2,w) + its column base (N,)."""
+    J: jax.Array
+    base: jax.Array
+    width: int
+
+
+def camera_entries(ev: Evaluation, problem: Problem,
+                   shapes: assembly.TangentShapes) -> list[CamEntry]:
+    """Static list of camera-side Jacobian entries per observation.
+
+    Global shutter: the pose_b Jacobian is identically zero (camera.project
+    ignores it), so its entry is statically dropped.
+    """
+    obs = problem.obs
+    entries = [CamEntry(ev.J_pose[:, :, 0, :], obs.pose_a * POSE_DOF,
+                        POSE_DOF)]
+    if problem.model.rolling_shutter:
+        entries.append(CamEntry(ev.J_pose[:, :, 1, :], obs.pose_b * POSE_DOF,
+                                POSE_DOF))
+    if shapes.ni > 0:
+        p6 = shapes.n_poses * POSE_DOF
+        entries.append(CamEntry(ev.J_intr, p6 + obs.intr_idx * shapes.ni,
+                                shapes.ni))
+    return entries
+
+
+def camera_gradient(ev: Evaluation, problem: Problem,
+                    shapes: assembly.TangentShapes) -> jax.Array:
+    """g_cam (Dc,) = camera part of J̃ᵀr̃."""
+    Dc = shapes.cam_dim
+    g = jnp.zeros((Dc,), ev.r.dtype)
+    for e in camera_entries(ev, problem, shapes):
+        contrib = jnp.einsum("nrw,nr->nw", e.J, ev.r)
+        cols = e.base[:, None] + jnp.arange(e.width)[None, :]
+        g = g.at[cols].add(contrib)
+    return g
+
+
+def camera_jtj_diag(ev: Evaluation, problem: Problem,
+                    shapes: assembly.TangentShapes) -> jax.Array:
+    """diag of the camera-camera block B (Dc,)."""
+    d = jnp.zeros((shapes.cam_dim,), ev.r.dtype)
+    for e in camera_entries(ev, problem, shapes):
+        cols = e.base[:, None] + jnp.arange(e.width)[None, :]
+        d = d.at[cols].add(jnp.sum(e.J ** 2, axis=1))
+    return d
+
+
+def assemble_B_dense(ev: Evaluation, problem: Problem,
+                     shapes: assembly.TangentShapes) -> jax.Array:
+    """Dense camera-camera block B = Σ J_camᵀ J_cam (Dc, Dc)."""
+    Dc = shapes.cam_dim
+    B = jnp.zeros((Dc, Dc), ev.r.dtype)
+    entries = camera_entries(ev, problem, shapes)
+    for ei in entries:
+        ci = ei.base[:, None] + jnp.arange(ei.width)[None, :]
+        for ek in entries:
+            ck = ek.base[:, None] + jnp.arange(ek.width)[None, :]
+            blk = jnp.einsum("nri,nrk->nik", ei.J, ek.J)
+            B = B.at[ci[:, :, None], ck[:, None, :]].add(blk)
+    return B
+
+
+def assemble_E_dense(ev: Evaluation, problem: Problem,
+                     shapes: assembly.TangentShapes) -> jax.Array:
+    """Eᵀ stored per point: A (M, 3, Dc) with A_j = E_jᵀ.
+
+    A[j, :, cols_i] accumulates J_pt_iᵀ J_cam_i over observations i of
+    point j.
+    """
+    M = shapes.n_points
+    Dc = shapes.cam_dim
+    A = jnp.zeros((M, 3, Dc), ev.r.dtype)
+    pt = problem.obs.point
+    for e in camera_entries(ev, problem, shapes):
+        blk = jnp.einsum("nrp,nrw->npw", ev.J_pt, e.J)        # (N, 3, w)
+        cols = e.base[:, None] + jnp.arange(e.width)[None, :]  # (N, w)
+        A = A.at[pt[:, None, None], jnp.arange(3)[None, :, None],
+                 cols[:, None, :]].add(blk)
+    return A
+
+
+def invert_3x3_psd(C: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of symmetric PD 3×3 blocks (…,3,3)."""
+    a, b, c = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
+    d, e, f = C[..., 1, 1], C[..., 1, 2], C[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / det
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    row0 = jnp.stack([co00, co01, co02], axis=-1)
+    row1 = jnp.stack([co01, co11, co12], axis=-1)
+    row2 = jnp.stack([co02, co12, co22], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
+def gn_hessian_apply(ev: Evaluation, problem: Problem,
+                     shapes: assembly.TangentShapes, dx_cam: jax.Array,
+                     dx_pt: jax.Array):
+    """Matrix-free Gauss-Newton Hessian product (undamped).
+
+    (Hx_cam, Hx_pt) = J̃ᵀ(J̃·[dx_cam; dx_pt]).  Shared by the predicted-
+    decrease computation and the PCG matvec (SURVEY.md §3.4 hot loop #3).
+    dx_pt: (M, 3).
+    """
+    entries = camera_entries(ev, problem, shapes)
+    pt = problem.obs.point
+    u = jnp.einsum("nrp,np->nr", ev.J_pt, dx_pt[pt])
+    for e in entries:
+        cols = e.base[:, None] + jnp.arange(e.width)[None, :]
+        u = u + jnp.einsum("nrw,nw->nr", e.J, dx_cam[cols])
+    Hx_cam = jnp.zeros_like(dx_cam)
+    for e in entries:
+        cols = e.base[:, None] + jnp.arange(e.width)[None, :]
+        Hx_cam = Hx_cam.at[cols].add(jnp.einsum("nrw,nr->nw", e.J, u))
+    Hx_pt = jax.ops.segment_sum(jnp.einsum("nrp,nr->np", ev.J_pt, u), pt,
+                                num_segments=shapes.n_points)
+    return Hx_cam, Hx_pt
+
+
+def _lm_scaled_damp(diag: jax.Array, radius, options: SolverOptions):
+    """Ceres LM diagonal: clamp(diag)/radius, dead dims pinned to 1."""
+    dead = diag <= 0.0
+    lm = jnp.clip(diag, options.min_lm_diagonal,
+                  options.max_lm_diagonal) / radius
+    return jnp.where(dead, 1.0, lm), dead
+
+
+def make_dense_schur_solver(problem: Problem, options: SolverOptions):
+    """(prepare, solve_step) for the LM driver — DENSE_SCHUR equivalent."""
+
+    def prepare(params: Params):
+        ev = residuals.evaluate(params, problem, with_jacobians=True)
+        shapes = assembly.tangent_shapes(problem, params)
+
+        # Jacobi column scaling (Ceres scales J once per evaluation).
+        d_cam = camera_jtj_diag(ev, problem, shapes)
+        C_diag_blocks = assembly.jtj_diagonal_blocks(ev, problem, shapes)[2]
+        if options.jacobi_scaling:
+            s_cam = jnp.where(d_cam > 0,
+                              1.0 / (1.0 + jnp.sqrt(jnp.maximum(d_cam, 0.0))),
+                              1.0)
+            s_pt = jnp.where(C_diag_blocks > 0,
+                             1.0 / (1.0 + jnp.sqrt(
+                                 jnp.maximum(C_diag_blocks, 0.0))), 1.0)
+        else:
+            s_cam = jnp.ones_like(d_cam)
+            s_pt = jnp.ones_like(C_diag_blocks)
+
+        ev = scale_evaluation(ev, problem, shapes, s_cam, s_pt)
+
+        g_cam = camera_gradient(ev, problem, shapes)
+        _, _, g_pt = assembly.gradient_blocks(ev, problem, shapes)
+        B = assemble_B_dense(ev, problem, shapes)
+        A = assemble_E_dense(ev, problem, shapes)
+        C = assembly.point_hessian_blocks(ev, problem, shapes)
+        gmax = jnp.maximum(
+            jnp.max(jnp.abs(g_cam / jnp.where(s_cam == 0, 1.0, s_cam))),
+            jnp.max(jnp.abs(g_pt / jnp.where(s_pt == 0, 1.0, s_pt))))
+        return {
+            "cost": ev.cost, "ev": ev, "g_cam": g_cam, "g_pt": g_pt,
+            "B": B, "A": A, "C": C, "s_cam": s_cam, "s_pt": s_pt,
+            "gradient_max_norm": gmax,
+        }
+
+    def _static_shapes():
+        return assembly.TangentShapes(
+            problem.pose_free.shape[0], problem.intr_free.shape[0],
+            problem.intr_tangent_dim, problem.point_free.shape[0])
+
+    def solve_step(aux, radius):
+        ev = aux["ev"]
+        B, A, C = aux["B"], aux["A"], aux["C"]
+        g_cam, g_pt = aux["g_cam"], aux["g_pt"]
+        Dc = B.shape[0]
+        M = C.shape[0]
+
+        # LM damping in scaled space.
+        lm_cam, dead_cam = _lm_scaled_damp(jnp.diagonal(B), radius, options)
+        B_l = B + jnp.diag(lm_cam)
+        c_diag = jnp.diagonal(C, axis1=-2, axis2=-1)           # (M,3)
+        lm_pt, dead_pt = _lm_scaled_damp(c_diag.reshape(-1), radius, options)
+        C_l = C + jax.vmap(jnp.diag)(lm_pt.reshape(M, 3))
+        C_inv = invert_3x3_psd(C_l)
+
+        # Reduced system: S = B_λ − Σ_j A_jᵀ C_j⁻¹ A_j.
+        Y = jnp.einsum("mab,mbd->mad", C_inv, A)               # (M,3,Dc)
+        S = B_l - jnp.einsum("mad,mae->de", A, Y)
+        L = jnp.linalg.cholesky(S)
+
+        def schur_solve(rc, rp):
+            """Solve the damped full system K·[dc;dp] = [rc;rp] via S."""
+            w = jnp.einsum("mab,mb->ma", C_inv, rp)
+            rhs = rc - jnp.einsum("mad,ma->d", A, w)
+            y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+            dc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+            dp = jnp.einsum("mab,mb->ma", C_inv,
+                            rp - jnp.einsum("mad,d->ma", A, dc))
+            return dc, dp
+
+        dxc, dxp = schur_solve(-g_cam, -g_pt)
+
+        # Full-system iterative refinement against the MATRIX-FREE damped
+        # operator (J̃ᵀJ̃ + λD²) — corrects both the f32 Cholesky and the
+        # cancellation in forming S = B − ECE itself (SURVEY.md §7.2 #1).
+        lm_pt_b = lm_pt.reshape(M, 3)
+        shapes = _static_shapes()
+        for _ in range(options.refinement_steps):
+            Hx_cam, Hx_pt = gn_hessian_apply(ev, problem, shapes, dxc, dxp)
+            res_cam = -g_cam - (Hx_cam + lm_cam * dxc)
+            res_pt = -g_pt - (Hx_pt + lm_pt_b * dxp)
+            cc, cp = schur_solve(res_cam, res_pt)
+            dxc = dxc + cc
+            dxp = dxp + cp
+
+        # Predicted decrease via the cancellation-free LM identity: with
+        # (H + λD²)δ = −g exactly, −gᵀδ − ½δᵀHδ = ½(δᵀλD²δ − gᵀδ) — a sum
+        # of two nonnegative terms, robust in f32 near convergence
+        # (SURVEY.md §7.2 item 1).
+        gTdx = g_cam @ dxc + jnp.sum(g_pt * dxp)
+        dDd = jnp.sum(lm_cam * dxc * dxc) + jnp.sum(
+            lm_pt.reshape(M, 3) * dxp * dxp)
+        predicted = 0.5 * (dDd - gTdx)
+
+        # Unscale and pack the full tangent step.
+        dx_cam_u = aux["s_cam"] * dxc
+        dx_pt_u = aux["s_pt"].reshape(M, 3) * dxp
+        dx = jnp.concatenate([dx_cam_u, dx_pt_u.reshape(-1)])
+        return dx, predicted, jnp.asarray(0, jnp.int32)
+
+    return prepare, solve_step
+
+
+def scale_evaluation(ev: Evaluation, problem: Problem,
+                     shapes: assembly.TangentShapes, s_cam: jax.Array,
+                     s_pt: jax.Array) -> Evaluation:
+    """Apply Jacobi column scaling to all Jacobian blocks.
+
+    s_cam: (Dc,) per camera-tangent dim; s_pt: (M·3,) per point dim.
+    """
+    obs = problem.obs
+    sa = s_cam[(obs.pose_a * POSE_DOF)[:, None]
+               + jnp.arange(POSE_DOF)[None, :]]
+    sb = s_cam[(obs.pose_b * POSE_DOF)[:, None]
+               + jnp.arange(POSE_DOF)[None, :]]
+    J_pose = ev.J_pose * jnp.stack([sa, sb], axis=1)[:, None, :, :]
+    if shapes.ni > 0:
+        p6 = shapes.n_poses * POSE_DOF
+        si = s_cam[(p6 + obs.intr_idx * shapes.ni)[:, None]
+                   + jnp.arange(shapes.ni)[None, :]]
+        J_intr = ev.J_intr * si[:, None, :]
+    else:
+        J_intr = ev.J_intr
+    sp = s_pt.reshape(shapes.n_points, 3)[obs.point]
+    J_pt = ev.J_pt * sp[:, None, :]
+    return Evaluation(r=ev.r, cost=ev.cost, J_pose=J_pose, J_intr=J_intr,
+                      J_pt=J_pt)
