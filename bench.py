@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Workload: BASELINE.json config 4 (rolling-shutter SLERP + distortion +
+Huber, 1k cams / 100k pts at scale=1.0) solved with the iterative-Schur
+(PCG) solver in f32 on the default device (the real TPU chip under the
+driver; CPU elsewhere).
+
+Metric: wall-clock to convergence — cumulative LM-iteration time until
+cost is within 0.1% of the converged cost ("wall-clock to equal-RMSE",
+BASELINE.json:2).  jit compilation is excluded (a warm-up solve caches
+it; Ceres, the reference baseline, has no compile phase either).
+
+vs_baseline: speedup over the stored CPU-f64 measurement of the same
+problem with the same criterion (benchmarks/baselines/cpu_config4.json,
+measured with this same script under JAX_PLATFORMS=cpu RSBA_BENCH_CPU=1;
+Ceres itself is not installed in this environment — SURVEY.md §6).
+
+Env knobs: RSBA_BENCH_SCALE (default 1.0), RSBA_BENCH_CONFIG
+(default rs_slerp_robust), RSBA_BENCH_CPU=1 to run the f64 CPU baseline
+and update the stored baseline file.
+"""
+import json
+import os
+import pathlib
+import sys
+
+BASELINE_FILE = (pathlib.Path(__file__).parent / "benchmarks" / "baselines"
+                 / "cpu_config4.json")
+
+
+def wall_to_convergence(summary) -> float:
+    """Cumulative iteration wall time until 99.9% of the total cost
+    decrease is achieved (robust-loss costs sit on a large outlier
+    plateau, so the threshold is relative to the decrease, not the
+    absolute cost)."""
+    threshold = (summary.final_cost
+                 + 1e-3 * (summary.initial_cost - summary.final_cost))
+    wall = 0.0
+    for it in summary.iterations:
+        wall += it.wall_time
+        if it.accepted and it.cost <= threshold:
+            return wall
+    return wall
+
+
+def run(config_name: str, scale: float, dtype_name: str, opts):
+    import jax.numpy as jnp
+    from rsba_tpu.problem import synthetic
+    from rsba_tpu.solver import lm
+
+    dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
+    ba = synthetic.CONFIGS[config_name](scale=scale, dtype=dtype)
+    # Build the jitted phase fns ONCE so the warm-up solve populates the
+    # compile cache for the timed solve.
+    fns = lm.make_solver_fns(ba.problem, opts)
+    _, s_warm = lm.solve(ba.problem, ba.params0, opts, fns=fns)
+    _, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
+    return ba, s, s_warm
+
+
+def main():
+    scale = float(os.environ.get("RSBA_BENCH_SCALE", "1.0"))
+    config = os.environ.get("RSBA_BENCH_CONFIG", "rs_slerp_robust")
+    cpu_mode = os.environ.get("RSBA_BENCH_CPU", "") == "1"
+    key = f"{config}@{scale}"
+
+    if cpu_mode:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from rsba_tpu.solver.options import SolverOptions
+    opts = SolverOptions(linear_solver="iterative_schur",
+                         preconditioner="schur_jacobi",
+                         max_cg_iterations=100, cg_eta=1e-2,
+                         max_iterations=60,
+                         verbose=os.environ.get("RSBA_BENCH_VERBOSE") == "1")
+
+    ba, s, _ = run(config, scale, "f64" if cpu_mode else "f32", opts)
+    wall = wall_to_convergence(s)
+    iters_per_sec = (len(s.iterations) / sum(i.wall_time
+                                             for i in s.iterations))
+
+    baselines = {}
+    if BASELINE_FILE.exists():
+        baselines = json.loads(BASELINE_FILE.read_text())
+
+    if cpu_mode:
+        baselines[key] = {
+            "wall_to_conv_s": wall,
+            "final_cost": s.final_cost,
+            "final_rmse": s.final_rmse_inlier,
+            "iters_per_sec": iters_per_sec,
+            "solver": "rsba_tpu iterative_schur, XLA-CPU f64 "
+                      "(Ceres-CPU stand-in; Ceres not installed — "
+                      "SURVEY.md §6)",
+        }
+        BASELINE_FILE.parent.mkdir(parents=True, exist_ok=True)
+        BASELINE_FILE.write_text(json.dumps(baselines, indent=1))
+        print(json.dumps({"metric": f"cpu_baseline {key} wall-to-convergence",
+                          "value": round(wall, 3), "unit": "s",
+                          "vs_baseline": 1.0}))
+        return
+
+    base = baselines.get(key)
+    vs = (base["wall_to_conv_s"] / wall) if base else 0.0
+    print(json.dumps({
+        "metric": f"{key} wall-to-convergence (RS-SLERP+Huber BA, "
+                  "PCG-Schur, f32 TPU; speedup vs stored XLA-CPU f64)",
+        "value": round(wall, 3), "unit": "s",
+        "vs_baseline": round(vs, 3),
+        "details": {
+            "final_rmse_px": round(s.final_rmse_inlier, 4),
+            "termination": s.termination,
+            "lm_iterations": len(s.iterations),
+            "iters_per_sec": round(iters_per_sec, 3),
+            "cpu_baseline_s": base["wall_to_conv_s"] if base else None,
+            "cpu_baseline_final_rmse_px": (round(base["final_rmse"], 4)
+                                           if base else None),
+        }}))
+    if s.termination not in ("CONVERGENCE",):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

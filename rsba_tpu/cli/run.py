@@ -1,0 +1,179 @@
+"""CLI problem runner — the framework's service frontend.
+
+Parity: the reference's Thrift service + tools (SURVEY.md §2 C20, L6)
+re-scoped as a CLI over the five judged config presets and BAL files:
+
+    python -m rsba_tpu.cli.run --config=rs_slerp_robust --scale=0.1
+    python -m rsba_tpu.cli.run --bal=problem.txt --linear-solver=dense_schur
+    python -m rsba_tpu.cli.run --config=rs_mhost_pcg --shard --verbose
+
+Per-config solver defaults mirror BASELINE.json:7-11 (dense for config 1,
+Schur for 2-4, sharded PCG for 5).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+CONFIG_SOLVER_DEFAULTS = {
+    "gs_small": "dense",
+    "gs_bal": "dense_schur",
+    "rs_video_linear": "dense_schur",
+    "rs_slerp_robust": "iterative_schur",
+    "rs_mhost_pcg": "iterative_schur",
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rsba_tpu.cli.run",
+        description="TPU-native rolling-shutter bundle adjustment runner")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--config", choices=sorted(CONFIG_SOLVER_DEFAULTS),
+                     help="synthetic judged-config preset")
+    src.add_argument("--bal", metavar="FILE",
+                     help="BAL-format problem file (text or .bz2)")
+    p.add_argument("--scale", type=float, default=1.0,
+                   help="size multiplier for synthetic configs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", choices=["f32", "f64"], default=None,
+                   help="default: f32 on TPU, f64 on CPU")
+    p.add_argument("--linear-solver",
+                   choices=["dense", "dense_schur", "iterative_schur"],
+                   default=None, help="default: per-config preset")
+    p.add_argument("--preconditioner",
+                   choices=["jacobi", "schur_jacobi"],
+                   default="schur_jacobi")
+    p.add_argument("--max-iterations", type=int, default=50)
+    p.add_argument("--max-cg-iterations", type=int, default=100)
+    p.add_argument("--cg-eta", type=float, default=1e-2)
+    p.add_argument("--function-tolerance", type=float, default=1e-6)
+    p.add_argument("--shard", action="store_true",
+                   help="run the multi-chip sharded solver over all devices")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="persist solver state each accepted step (orbax)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in "
+                        "--checkpoint-dir")
+    p.add_argument("--jsonl", default=None,
+                   help="write per-iteration JSONL records here")
+    p.add_argument("--ply", default=None,
+                   help="export the optimized point cloud as PLY")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default=None,
+                   help="force a jax platform (the harness environment "
+                        "pre-registers the TPU backend, so env vars alone "
+                        "cannot select CPU)")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--full-report", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from ..problem import synthetic
+    from ..solver import lm
+    from ..solver.options import SolverOptions
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if args.dtype is None:
+        args.dtype = "f32" if on_tpu else "f64"
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    if args.dtype == "f64" and not on_tpu:
+        jax.config.update("jax_enable_x64", True)
+
+    t0 = time.perf_counter()
+    if args.config:
+        ba = synthetic.CONFIGS[args.config](scale=args.scale,
+                                            seed=args.seed, dtype=dtype)
+        problem, params0 = ba.problem, ba.params0
+        name = args.config
+    else:
+        from ..io import bal
+        problem, params0 = bal.load_bal(args.bal, dtype=dtype)
+        name = args.bal
+
+    solver = (args.linear_solver
+              or CONFIG_SOLVER_DEFAULTS.get(args.config or "", "dense_schur"))
+    options = SolverOptions(
+        linear_solver=solver, preconditioner=args.preconditioner,
+        max_iterations=args.max_iterations,
+        max_cg_iterations=args.max_cg_iterations, cg_eta=args.cg_eta,
+        function_tolerance=args.function_tolerance, verbose=args.verbose)
+
+    print(f"[rsba_tpu] problem {name}: {int(jnp.sum(problem.obs.mask))} "
+          f"observations, {params0.n_poses} poses, "
+          f"{params0.n_points} points | solver={solver} "
+          f"dtype={args.dtype} backend={jax.default_backend()} "
+          f"devices={len(jax.devices())}"
+          + (" [sharded]" if args.shard else ""))
+
+    callback = None
+    ckpt = None
+    if args.checkpoint_dir:
+        from ..utils import SolverCheckpointer
+        ckpt = SolverCheckpointer(args.checkpoint_dir)
+        callback = ckpt.callback
+        if args.resume:
+            restored = ckpt.restore()
+            if restored is not None:
+                it0, params0, radius = restored
+                options = options.__class__(
+                    **{**options.__dict__, "initial_radius": radius})
+                print(f"[rsba_tpu] resumed from checkpoint step {it0} "
+                      f"(radius {radius:.3e})")
+
+    fns = None
+    info = None
+    if args.shard:
+        from .. import dist
+        mesh = dist.make_mesh()
+        problem, params0, info = dist.repartition_by_point(
+            problem, params0, n_shards=mesh.devices.size)
+        problem, params0 = dist.shard_ba(problem, params0, mesh)
+        fns = dist.make_sharded_solver_fns(problem, options, mesh)
+
+    params, summary = lm.solve(problem, params0, options,
+                               callback=callback, fns=fns)
+    if ckpt is not None:
+        ckpt.wait()
+    wall = time.perf_counter() - t0
+
+    if args.full_report:
+        print(summary.full_report())
+    else:
+        print(summary.brief_report())
+    print(json.dumps({
+        "problem": name, "solver": solver, "dtype": args.dtype,
+        "termination": summary.termination,
+        "final_cost": summary.final_cost,
+        "final_rmse_px": summary.final_rmse,
+        "final_rmse_inlier_px": summary.final_rmse_inlier,
+        "iterations": summary.num_iterations,
+        "wall_s": round(wall, 3),
+    }))
+    if args.jsonl:
+        summary.write_jsonl(args.jsonl)
+    if args.ply:
+        from ..io import bal as bal_io
+        out_params = params
+        if info is not None:
+            out_params = params.replace(
+                points=info.restore_points(params.points))
+        bal_io.export_ply(args.ply, out_params)
+        print(f"[rsba_tpu] wrote {args.ply}")
+    return 0 if summary.termination in ("CONVERGENCE", "USER_SUCCESS") else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,9 +4,12 @@ Parity: reference's templated lerp/slerp pose interpolation (SURVEY.md §2
 C5/C6; BASELINE.json:5 "per-row pose interpolation: linear/SLERP between
 keyframe poses").  Two rotation modes, both required by the judged configs:
 
-* ``"lerp_aa"`` — linear interpolation of global angle-axis vectors
-  (config 3, "linear pose interpolation per scanline").
+* ``"nlerp"``   — normalized linear quaternion interpolation (config 3,
+  "linear pose interpolation per scanline").
 * ``"slerp"``   — geodesic quaternion SLERP (config 4).
+* ``"lerp_aa"`` — linear interpolation of global angle-axis vectors; kept
+  for parity/experiments, but discontinuous where the global rotation
+  angle crosses π — prefer nlerp for the linear mode.
 
 Camera center is always linearly interpolated.  ``t ∈ [0, 1]`` is the
 row-normalized shutter time (``t = row / image_height``; ``t = 0`` top row).
@@ -21,7 +24,7 @@ import jax.numpy as jnp
 
 from . import quaternion as quat
 
-ROTATION_INTERP_MODES = ("slerp", "lerp_aa")
+ROTATION_INTERP_MODES = ("slerp", "nlerp", "lerp_aa")
 
 
 def interpolate_rotation(qa: jax.Array, qb: jax.Array, t: jax.Array,
@@ -29,6 +32,8 @@ def interpolate_rotation(qa: jax.Array, qb: jax.Array, t: jax.Array,
     """Interpolate rotation between two unit quaternions. ``mode`` is static."""
     if mode == "slerp":
         return quat.slerp(qa, qb, t)
+    if mode == "nlerp":
+        return quat.nlerp(qa, qb, t)
     if mode == "lerp_aa":
         return quat.lerp_axis_angle(quat.to_axis_angle(qa),
                                     quat.to_axis_angle(qb), t)

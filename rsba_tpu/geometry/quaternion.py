@@ -155,6 +155,22 @@ def slerp(qa: jax.Array, qb: jax.Array, t: jax.Array) -> jax.Array:
     return multiply(qa, exp_tangent(t * d))
 
 
+def nlerp(qa: jax.Array, qb: jax.Array, t: jax.Array) -> jax.Array:
+    """Normalized linear quaternion interpolation (shortest arc).
+
+    The "linear" rolling-shutter rotation mode: component-wise lerp of the
+    keyframe quaternions + renormalization, with qb sign-flipped onto qa's
+    hemisphere.  Smooth and discontinuity-free for any keyframe pair
+    (unlike lerping *global* axis-angle vectors, which jumps when the
+    rotation angle crosses π); agrees with SLERP to O(Δθ³) for the small
+    inter-frame rotations of video.
+    """
+    t = jnp.asarray(t)[..., None]
+    dot = jnp.sum(qa * qb, axis=-1, keepdims=True)
+    qb = jnp.where(dot < 0, -qb, qb)
+    return normalize((1.0 - t) * qa + t * qb)
+
+
 def lerp_axis_angle(aa_a: jax.Array, aa_b: jax.Array, t: jax.Array) -> jax.Array:
     """'Linear' rotation interpolation: lerp the global angle-axis vectors.
 

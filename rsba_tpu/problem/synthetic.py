@@ -89,8 +89,17 @@ def _ring_trajectory(n_poses: int, radius: float, height_amp: float,
 
 def _rs_fixed_point_t(params: Params, obs_pose_a, obs_pose_b, obs_intr,
                       obs_point, model: CameraModel, H: int,
-                      iters: int = 8) -> jax.Array:
-    """Solve v = proj_y(t=v/H) per observation (vectorized fixed point)."""
+                      iters: int = 40, damping: float = 0.5):
+    """Solve v = proj_y(t=v/H) per observation (damped fixed point).
+
+    Returns (t, row_gap): ``row_gap`` = |proj_y(t)·/H − t|·H in pixels —
+    the self-consistency of the rolling-shutter measurement.  Fast
+    inter-frame motion can make the undamped iteration diverge for some
+    observations (|∂proj_y/∂row| > 1); under-relaxation fixes most, and
+    the caller drops any observation whose gap stays above a fraction of
+    a pixel (a real RS camera cannot measure such a feature on a
+    consistent row either).
+    """
     qa = params.q[obs_pose_a]
     ca = params.c[obs_pose_a]
     qb = params.q[obs_pose_b]
@@ -100,8 +109,11 @@ def _rs_fixed_point_t(params: Params, obs_pose_a, obs_pose_b, obs_intr,
     t = jnp.full(obs_point.shape, 0.5, dtype=params.points.dtype)
     for _ in range(iters):
         uv = camera.project(qa, ca, qb, cb, intr, X, t, model)
-        t = jnp.clip(uv[:, 1] / H, 0.0, 1.0)
-    return t
+        t_new = jnp.clip(uv[:, 1] / H, 0.0, 1.0)
+        t = (1.0 - damping) * t + damping * t_new
+    uv = camera.project(qa, ca, qb, cb, intr, X, t, model)
+    row_gap = jnp.abs(jnp.clip(uv[:, 1] / H, 0.0, 1.0) - t) * H
+    return t, row_gap
 
 
 def _perturb(params: Params, rng: np.random.RandomState, rot_sigma: float,
@@ -208,9 +220,10 @@ def make_ba_problem(
 
     # --- observations: project GT (fixed-point row time for RS) ------------
     if rolling_shutter:
-        t = _rs_fixed_point_t(params_gt, pa, pb, ii, pi, model, H)
+        t, row_gap = _rs_fixed_point_t(params_gt, pa, pb, ii, pi, model, H)
     else:
         t = jnp.zeros(pa.shape, dtype)
+        row_gap = jnp.zeros(pa.shape, dtype)
     uv_clean = camera.project(params_gt.q[pa], params_gt.c[pa],
                               params_gt.q[pb], params_gt.c[pb],
                               params_gt.intr[ii], params_gt.points[pi],
@@ -222,6 +235,10 @@ def make_ba_problem(
     valid = (np.asarray(depth) > 0.2) & np.isfinite(uv_clean).all(axis=1)
     valid &= ((uv_clean[:, 0] >= 0) & (uv_clean[:, 0] < W)
               & (uv_clean[:, 1] >= 0) & (uv_clean[:, 1] < H))
+    # Rolling shutter: keep only row-consistent measurements (see
+    # _rs_fixed_point_t) — an inconsistent row cannot be produced by a
+    # real RS camera and would poison the GT-noise-floor oracle.
+    valid &= np.asarray(row_gap) < 0.25
 
     uv = uv_clean + rng.randn(*uv_clean.shape) * pixel_noise
     if outlier_fraction > 0:
@@ -305,7 +322,7 @@ def config3_rs_video(scale: float = 1.0, seed: int = 0,
     n_frames = max(int(200 * scale), 4)
     return make_ba_problem(
         n_poses=n_frames + 1, n_points=max(int(20000 * scale), 100),
-        track_len=12, rolling_shutter=True, rotation_interp="lerp_aa",
+        track_len=12, rolling_shutter=True, rotation_interp="nlerp",
         use_distortion=False, pixel_noise=0.5, seed=seed, dtype=dtype,
         rot_sigma=0.005, trans_sigma=0.01, point_sigma=0.01,
         name="rs_video_linear")

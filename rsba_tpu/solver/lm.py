@@ -30,6 +30,14 @@ def _rmse(sq_px_sum: float, n_valid: float) -> float:
     return float(jnp.sqrt(sq_px_sum / jnp.maximum(n_valid, 1.0)))
 
 
+def inlier_threshold(problem: Problem) -> float:
+    """Inlier gate for RMSE reporting: 3× the robust-loss scale (px); no
+    gate (inf) for non-robust problems."""
+    if problem.loss.kind == "trivial":
+        return float("inf")
+    return 3.0 * problem.loss.scale
+
+
 def make_solver_fns(problem: Problem, options: SolverOptions):
     """Build the jitted phase functions for a given problem structure."""
     if options.linear_solver == "dense":
@@ -60,9 +68,12 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
     def cost_fn(params: Params):
         return residuals.cost_only(params, problem)
 
+    def cost_decrease_fn(p_old: Params, p_new: Params):
+        return residuals.cost_decrease(p_old, p_new, problem)
+
     def error_stats(params: Params):
-        sq = residuals.squared_pixel_error(params, problem)
-        return sq, jnp.sum(problem.obs.mask)
+        return residuals.error_stats(params, problem,
+                                     inlier_threshold(problem))
 
     def _wrap(f):
         """jit under the configured matmul precision (active at trace time)."""
@@ -79,28 +90,36 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         "solve_step": _wrap(solve_step),
         "apply_step": _wrap(apply_step),
         "cost": _wrap(cost_fn),
+        "cost_decrease": _wrap(cost_decrease_fn),
         "error_stats": _wrap(error_stats),
     }
 
 
 def solve(problem: Problem, params: Params,
           options: SolverOptions = SolverOptions(),
-          callback: Optional[Callable] = None) -> Tuple[Params, Summary]:
+          callback: Optional[Callable] = None,
+          fns: Optional[dict] = None) -> Tuple[Params, Summary]:
     """Run LM to convergence.  Returns (optimized params, Summary).
 
     ``callback(iteration, params, iteration_summary)`` is invoked after
     every accepted step — parity with ``ceres::IterationCallback``
     (checkpointing hooks onto this, SURVEY.md §5.4).
+
+    ``fns`` overrides the phase functions — this is how the sharded
+    multi-chip solver (dist.make_sharded_solver_fns) reuses this driver:
+    trust-region control is identical single-chip and multi-host.
     """
     t_start = time.perf_counter()
-    fns = make_solver_fns(problem, options)
+    if fns is None:
+        fns = make_solver_fns(problem, options)
     summary = Summary(linear_solver=options.linear_solver)
     shapes = assembly.tangent_shapes(problem, params)
     summary.num_residuals = int(2 * jnp.sum(problem.obs.mask))
     summary.num_parameters_tangent = shapes.total_dim
 
-    sq0, n_valid = fns["error_stats"](params)
+    sq0, n_valid, sq0_in, n_in = fns["error_stats"](params)
     summary.initial_rmse = _rmse(sq0, n_valid)
+    summary.initial_rmse_inlier = _rmse(sq0_in, n_in)
     summary.preprocessing_time = time.perf_counter() - t_start
 
     radius = options.initial_radius
@@ -141,14 +160,16 @@ def solve(problem: Problem, params: Params,
             t0 = time.perf_counter()
             dx, predicted, li = fns["solve_step"](
                 aux, jnp.asarray(radius, dtype=aux["cost"].dtype))
-            dx.block_until_ready()
+            jax.block_until_ready(dx)
             summary.linear_solver_time += time.perf_counter() - t0
             lin_iters = int(li)
             cand, snorm, x_norm = fns["apply_step"](params, dx)
             pred = float(predicted)
             step_norm = float(snorm)
-            if not (jnp.all(jnp.isfinite(dx)) and pred > 0
-                    and jnp.isfinite(pred)):
+            dx_finite = all(
+                bool(jnp.all(jnp.isfinite(leaf)))
+                for leaf in jax.tree.leaves(dx))
+            if not (dx_finite and pred > 0 and jnp.isfinite(pred)):
                 # Invalid step: shrink and retry (Ceres counts these).
                 invalid_steps += 1
                 radius /= decrease_factor
@@ -159,8 +180,11 @@ def solve(problem: Problem, params: Params,
                     terminated = True
                 break
             invalid_steps = 0
-            new_cost = float(fns["cost"](cand))
-            rho = (cost - new_cost) / pred
+            # Pairwise-differenced decrease (f32-safe); new_cost derived
+            # from it for reporting and the ftol tests.
+            decrease = float(fns["cost_decrease"](params, cand))
+            new_cost = cost - decrease
+            rho = decrease / pred
             if jnp.isfinite(new_cost) and rho > options.min_relative_decrease:
                 accepted = True
                 new_params = cand
@@ -235,7 +259,8 @@ def solve(problem: Problem, params: Params,
         summary.message = f"max iterations ({options.max_iterations}) reached"
 
     summary.final_cost = float(fns["cost"](params))
-    sqf, n_valid = fns["error_stats"](params)
+    sqf, n_valid, sqf_in, n_in = fns["error_stats"](params)
     summary.final_rmse = _rmse(sqf, n_valid)
+    summary.final_rmse_inlier = _rmse(sqf_in, n_in)
     summary.total_time = time.perf_counter() - t_start
     return params, summary

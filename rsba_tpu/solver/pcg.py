@@ -95,15 +95,15 @@ class SchurFreeOperator(NamedTuple):
 
 # --- Schur-Jacobi preconditioner --------------------------------------------
 
-def schur_jacobi_blocks(ev: Evaluation, problem: Problem,
-                        shapes: assembly.TangentShapes, lm_cam: jax.Array,
-                        C_inv: jax.Array):
-    """Block diagonal of S_λ: per-pose (P,6,6) and per-intr (K,ni,ni).
+def schur_jacobi_partial(ev: Evaluation, problem: Problem,
+                         shapes: assembly.TangentShapes, C_inv: jax.Array):
+    """Block diagonal of S (undamped): per-pose (P,6,6), per-intr (K,ni,ni).
 
-    Exact B_λ diagonal blocks; the E C⁻¹ Eᵀ part is accumulated per
+    Exact B diagonal blocks; the E C⁻¹ Eᵀ part is accumulated per
     observation (exact when each (camera block, point) pair is observed
     once — the usual case; otherwise still a valid SPD preconditioner,
-    matching the quality Ceres's SCHUR_JACOBI provides).
+    matching the quality Ceres's SCHUR_JACOBI provides).  In the sharded
+    solver these partials are psum'd before the LM diagonal is added.
     """
     obs = problem.obs
     pt = obs.point
@@ -126,15 +126,27 @@ def schur_jacobi_blocks(ev: Evaluation, problem: Problem,
         D_intr = jax.ops.segment_sum(bb - fcf, obs.intr_idx, num_segments=K)
     else:
         D_intr = jnp.zeros((K, 0, 0), ev.r.dtype)
+    return D_pose, D_intr
 
-    # Add the LM diagonal (which also pins dead/constant dims to 1).
-    p6 = P * POSE_DOF
-    lm_pose = lm_cam[:p6].reshape(P, POSE_DOF)
+
+def add_lm_diag(D_pose: jax.Array, D_intr: jax.Array, lm_cam: jax.Array,
+                shapes: assembly.TangentShapes):
+    """Add the LM diagonal (which also pins dead/constant dims to 1)."""
+    p6 = shapes.n_poses * POSE_DOF
+    lm_pose = lm_cam[:p6].reshape(shapes.n_poses, POSE_DOF)
     D_pose = D_pose + jax.vmap(jnp.diag)(lm_pose)
-    if ni > 0:
-        lm_intr = lm_cam[p6:].reshape(K, ni)
+    if shapes.ni > 0:
+        lm_intr = lm_cam[p6:].reshape(shapes.n_intr, shapes.ni)
         D_intr = D_intr + jax.vmap(jnp.diag)(lm_intr)
     return D_pose, D_intr
+
+
+def schur_jacobi_blocks(ev: Evaluation, problem: Problem,
+                        shapes: assembly.TangentShapes, lm_cam: jax.Array,
+                        C_inv: jax.Array):
+    """Damped block diagonal of S_λ (single-device path)."""
+    D_pose, D_intr = schur_jacobi_partial(ev, problem, shapes, C_inv)
+    return add_lm_diag(D_pose, D_intr, lm_cam, shapes)
 
 
 def make_block_preconditioner(D_pose: jax.Array, D_intr: jax.Array,

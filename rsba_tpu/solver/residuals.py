@@ -91,6 +91,39 @@ def squared_pixel_error(params: Params, problem: Problem) -> jax.Array:
     return jnp.sum(problem.obs.mask * jnp.sum(r * r, axis=-1))
 
 
+def cost_decrease(params_old: Params, params_new: Params,
+                  problem: Problem) -> jax.Array:
+    """½ Σ mask·(ρ_old − ρ_new), summed PAIRWISE per observation.
+
+    In f32 on TPU the total cost's ulp can exceed a near-convergence
+    step's true decrease (robust problems sit on a large outlier-cost
+    plateau); differencing per-observation before reducing keeps the
+    error at ~√N·ulp(ρ_i) instead of ulp(Σρ) — the compensated-reduction
+    tactic of SURVEY.md §7.2 item 1.  Used for the trust-region ρ and
+    function-tolerance tests.
+    """
+    r_old = residuals_raw(params_old, problem)
+    r_new = residuals_raw(params_new, problem)
+    rho_old, _, _ = problem.loss.evaluate(jnp.sum(r_old * r_old, axis=-1))
+    rho_new, _, _ = problem.loss.evaluate(jnp.sum(r_new * r_new, axis=-1))
+    return 0.5 * jnp.sum(problem.obs.mask * (rho_old - rho_new))
+
+
+def error_stats(params: Params, problem: Problem, inlier_threshold: float):
+    """(Σ‖r‖², n, Σ_inlier‖r‖², n_inlier) over valid observations.
+
+    Inlier = ‖r‖ ≤ inlier_threshold (px).  With robust losses the plain
+    RMSE is dominated by outlier tracks; the inlier RMSE is the
+    reprojection-accuracy metric comparable across solvers
+    (BASELINE.json "final reprojection RMSE").
+    """
+    r = residuals_raw(params, problem)
+    s = jnp.sum(r * r, axis=-1)
+    m = problem.obs.mask
+    inl = m * (s <= inlier_threshold * inlier_threshold)
+    return (jnp.sum(m * s), jnp.sum(m), jnp.sum(inl * s), jnp.sum(inl))
+
+
 def evaluate(params: Params, problem: Problem,
              with_jacobians: bool = True) -> Evaluation:
     """Evaluate corrected residuals (and block Jacobians) for all obs.

@@ -37,6 +37,10 @@ class Summary:
     final_cost: float = 0.0
     initial_rmse: float = 0.0
     final_rmse: float = 0.0
+    # RMSE over inlier observations (‖r‖ ≤ 3× robust-loss scale); equals
+    # the plain RMSE for non-robust problems.
+    initial_rmse_inlier: float = 0.0
+    final_rmse_inlier: float = 0.0
     iterations: List[IterationSummary] = dataclasses.field(default_factory=list)
     termination: str = "NO_CONVERGENCE"
     message: str = ""
@@ -75,6 +79,7 @@ class Summary:
             f"Final cost           : {self.final_cost:.12e}",
             f"Initial RMSE (px)    : {self.initial_rmse:.6f}",
             f"Final RMSE (px)      : {self.final_rmse:.6f}",
+            f"Final inlier RMSE    : {self.final_rmse_inlier:.6f}",
             f"Termination          : {self.termination} ({self.message})",
             "",
             " iter      cost     cost_change   |grad|_max   |step|  "

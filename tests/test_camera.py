@@ -103,15 +103,32 @@ def test_rs_t0_t1_hit_endpoint_poses():
 
 
 def test_interp_modes_agree_to_first_order():
-    """lerp_aa and slerp agree when the two poses are close (video frames)."""
+    """All rotation modes agree when the two poses are close (video)."""
     qa = quat.random_unit(jax.random.PRNGKey(4), (), jnp.float64)
     qb = quat.boxplus(qa, jnp.asarray([1e-3, -2e-3, 1.5e-3]))
     for t in [0.25, 0.5, 0.9]:
         qs = interpolate.interpolate_rotation(qa, qb, t, "slerp")
-        ql = interpolate.interpolate_rotation(qa, qb, t, "lerp_aa")
-        ang = jnp.linalg.norm(quat.log(quat.relative(qs, ql)))
-        # agreement is second order in the pose delta (‖δ‖² ≈ 7e-6)
-        assert float(ang) < 1e-6
+        for mode in ("lerp_aa", "nlerp"):
+            ql = interpolate.interpolate_rotation(qa, qb, t, mode)
+            ang = jnp.linalg.norm(quat.log(quat.relative(qs, ql)))
+            # agreement is second order in the pose delta (‖δ‖² ≈ 7e-6)
+            assert float(ang) < 1e-6, mode
+
+
+def test_nlerp_continuous_across_pi_rotation():
+    """nlerp stays sane where global-aa lerp is discontinuous (angle ≈ π)."""
+    axis = jnp.asarray([0.0, 1.0, 0.0])
+    qa = quat.from_axis_angle((jnp.pi - 0.01) * axis)
+    qb = quat.from_axis_angle(jnp.asarray(
+        [0.02, jnp.pi - 0.005, 0.01]))  # just past the π boundary region
+    for t in [0.0, 0.3, 0.7, 1.0]:
+        qn = interpolate.interpolate_rotation(qa, qb, t, "nlerp")
+        # interpolant stays within the endpoints' geodesic ball
+        da = jnp.linalg.norm(quat.log(quat.relative(qa, qn)))
+        db = jnp.linalg.norm(quat.log(quat.relative(qb, qn)))
+        dab = jnp.linalg.norm(quat.log(quat.relative(qa, qb)))
+        assert float(da) <= float(dab) + 1e-6
+        assert float(db) <= float(dab) + 1e-6
 
 
 def test_huber_loss_values_and_corrector():
