@@ -97,7 +97,7 @@ def main():
                       "SURVEY.md §6)",
         }
         BASELINE_FILE.parent.mkdir(parents=True, exist_ok=True)
-        BASELINE_FILE.write_text(json.dumps(baselines, indent=1))
+        BASELINE_FILE.write_text(json.dumps(baselines, indent=1) + "\n")
         print(json.dumps({"metric": f"cpu_baseline {key} wall-to-convergence",
                           "value": round(wall, 3), "unit": "s",
                           "vs_baseline": 1.0}))

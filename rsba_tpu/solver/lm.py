@@ -8,9 +8,7 @@ tests (gradient / function / parameter tolerance).
 TPU mapping (SURVEY.md §3.1): the outer loop runs host-side; each phase
 (evaluate+assemble, damped solve, candidate cost) is one jitted on-device
 computation.  λ retries re-enter only the damped-solve jit — the Jacobian
-is not re-evaluated, matching Ceres's evaluator reuse.  A fully on-device
-`lax.while_loop` variant lives in `fused.py` (built once semantics froze —
-SURVEY.md §7.2 item 5).
+is not re-evaluated, matching Ceres's evaluator reuse.
 """
 from __future__ import annotations
 
