@@ -12,6 +12,7 @@ is not re-evaluated, matching Ceres's evaluator reuse.
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Callable, Optional, Tuple
 
@@ -37,7 +38,27 @@ def inlier_threshold(problem: Problem) -> float:
 
 
 def make_solver_fns(problem: Problem, options: SolverOptions):
-    """Build the jitted phase functions for a given problem structure."""
+    """Build the jitted phase functions for a given problem structure.
+
+    ``linear_solver="auto"`` picks the banded window solver (banded.py)
+    when the problem's track structure admits it — the TPU hot path — and
+    falls back to ``iterative_schur`` on the flat layout otherwise.
+    ``"banded_schur"`` requires the window layout and raises if it does
+    not apply.
+    """
+    if options.linear_solver in ("auto", "banded_schur"):
+        from .window import build_window_plan
+        plan = build_window_plan(problem)
+        if plan is not None:
+            from .banded import make_window_solver_fns
+            return make_window_solver_fns(problem, plan, options)
+        if options.linear_solver == "banded_schur":
+            raise ValueError(
+                "banded_schur requires window/track structure (bounded "
+                "pose spans, pose_b ∈ {pose_a, pose_a+1}, single fixed "
+                "intrinsics block); use linear_solver='auto' to fall back")
+        options = dataclasses.replace(options,
+                                      linear_solver="iterative_schur")
     if options.linear_solver == "dense":
         from .dense import make_dense_solver
         prepare, solve_step = make_dense_solver(problem, options)
@@ -114,6 +135,12 @@ def solve(problem: Problem, params: Params,
     shapes = assembly.tangent_shapes(problem, params)
     summary.num_residuals = int(2 * jnp.sum(problem.obs.mask))
     summary.num_parameters_tangent = shapes.total_dim
+
+    # Window-native solvers keep points in a padded internal layout;
+    # convert at the solve boundary (and for user-visible callbacks).
+    to_external = fns.get("to_external")
+    if to_external is not None:
+        params = fns["to_internal"](params)
 
     sq0, n_valid, sq0_in, n_in = fns["error_stats"](params)
     summary.initial_rmse = _rmse(sq0, n_valid)
@@ -228,7 +255,9 @@ def solve(problem: Problem, params: Params,
             if accepted:
                 params = new_params
                 if callback is not None:
-                    callback(summary.num_iterations, params, it)
+                    cb_params = (to_external(params) if to_external is not None
+                                 else params)
+                    callback(summary.num_iterations, cb_params, it)
                 # Convergence tests (Ceres ordering: after accepted step).
                 cost_change = cost - new_cost
                 if abs(cost_change) <= options.function_tolerance * cost:
@@ -260,5 +289,7 @@ def solve(problem: Problem, params: Params,
     sqf, n_valid, sqf_in, n_in = fns["error_stats"](params)
     summary.final_rmse = _rmse(sqf, n_valid)
     summary.final_rmse_inlier = _rmse(sqf_in, n_in)
+    if to_external is not None:
+        params = to_external(params)
     summary.total_time = time.perf_counter() - t_start
     return params, summary

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import dataclasses
 
-LINEAR_SOLVERS = ("dense", "dense_schur", "iterative_schur")
+LINEAR_SOLVERS = ("auto", "dense", "dense_schur", "iterative_schur",
+                  "banded_schur")
 PRECONDITIONERS = ("jacobi", "schur_jacobi")
 
 
