@@ -1,0 +1,275 @@
+"""Banded Schur solver driven by the fused Pallas kernel (the TPU path).
+
+Same math as solver/banded.py (the XLA window engine, which remains the
+portable oracle), but ``prepare`` runs the fused evaluate+assemble Pallas
+kernel (kernels/fused.py) and ``solve_step`` works on the kernel's
+**planes layout** — per-point quantities carry the point axis G on the
+TPU lane dimension:
+
+    g_pt (NR, 3, G),  C (NR, 6, G) packed symmetric,  F (NR, W, 18, G)
+
+so the band contractions are lane-major MXU matmuls instead of XLA
+einsums over (…, 6, 3)-trailing tensors (which pad 6→8/3→128 lanes and
+run ~20× off bandwidth).
+
+Internal parameter layout: points as (NR, 3, G) planes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import quaternion as quat
+from ..kernels import fused
+from ..problem.types import POSE_DOF, Params, Problem
+from . import banded
+from .options import SolverOptions
+from .pcg import pcg
+from .schur import _lm_scaled_damp
+from .window import WindowPlan
+
+C6_DIAG = fused.C6_DIAG
+C6_PAIRS = fused.C6_PAIRS
+
+
+# --- layout helpers ----------------------------------------------------------
+
+def to_internal(params: Params, plan: WindowPlan) -> Params:
+    """External (M, 3) points → planes (NR, 3, G)."""
+    pts = plan.gather_points(params.points)          # (NR, G, 3)
+    return params.replace(points=pts.transpose(0, 2, 1))
+
+
+def to_external(params: Params, plan: WindowPlan) -> Params:
+    """Planes (NR, 3, G) → external (M, 3)."""
+    pts_w = params.points.transpose(0, 2, 1)         # (NR, G, 3)
+    return params.replace(points=plan.scatter_points(pts_w))
+
+
+def _as_v1(params: Params, plan: WindowPlan) -> Params:
+    """Planes-internal params → window-internal (NR·G, 3) params, for the
+    shared residual/cost path in solver/banded.py."""
+    return params.replace(
+        points=params.points.transpose(0, 2, 1).reshape(-1, 3))
+
+
+def invert_sym3_planes(c6: jax.Array) -> jax.Array:
+    """Closed-form inverse of symmetric PD 3×3 packed planes (NR, 6, G)."""
+    a, b, c, d, e, f = (c6[:, i] for i in range(6))   # 00 01 02 11 12 22
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    det = a * co00 + b * co01 + c * co02
+    inv = 1.0 / det
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    return jnp.stack([co00, co01, co02, co11, co12, co22], axis=1) * \
+        inv[:, None]
+
+
+def _sym_full(c6: jax.Array) -> jax.Array:
+    """(NR, 6, G) packed symmetric → (NR, 3, 3, G) full."""
+    a, b, c, d, e, f = (c6[:, i] for i in range(6))
+    return jnp.stack([
+        jnp.stack([a, b, c], axis=1),
+        jnp.stack([b, d, e], axis=1),
+        jnp.stack([c, e, f], axis=1)], axis=1)
+
+
+# --- prepare -----------------------------------------------------------------
+
+def _kernel_inputs(params: Params, plan: WindowPlan, problem: Problem):
+    # Per-slot pose planes (NR, 16, L, G): the W-window compare-select runs
+    # here in XLA (Mosaic cannot splat a (RT,1,1) window value over both
+    # sublanes and lanes inside the kernel); order = fused._POSE_PLANES.
+    qw = plan.pose_windows(params.q)
+    cw = plan.pose_windows(params.c)
+    pf_w = plan.pose_windows(problem.pose_free)
+    qa = plan.select_a(qw)                           # (NR, G, L, 4)
+    ca = plan.select_a(cw)
+    qb = plan.select_b(qw)
+    cb = plan.select_b(cw)
+    pf_a = plan.select_a(pf_w)[..., None]            # (NR, G, L, 1)
+    pf_b = plan.select_b(pf_w)[..., None]
+    pose = jnp.concatenate([qa, ca, qb, cb, pf_a, pf_b],
+                           axis=-1).transpose(0, 3, 2, 1)   # (NR, 16, L, G)
+    ptf = plan.gather_point_scalar(problem.point_free)
+    uv = plan.uv.transpose(0, 3, 2, 1)               # (NR, 2, L, G)
+    tt = plan.t.transpose(0, 2, 1)                   # (NR, L, G)
+    mask = plan.mask.transpose(0, 2, 1)
+    offs = plan.offs_a.transpose(0, 2, 1)
+    rsf = plan.rs_ab.transpose(0, 2, 1)
+    intr = params.intr[0][None, :]                   # (1, 9)
+    return (pose, params.points, ptf, uv, tt, mask, offs, rsf, intr,
+            plan.W)
+
+
+def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
+            params: Params, interpret: bool):
+    out = fused.fused_evaluate_assemble(
+        *_kernel_inputs(params, plan, problem),
+        model=problem.model, loss=problem.loss, interpret=interpret)
+    P = plan.n_poses
+    g_cam = plan.fold(out["gw"])                     # (P, 6)
+    B0 = plan.fold(out["b0"]).reshape(P, 6, 6)
+    B1 = plan.fold(out["b1"]).reshape(P, 6, 6)
+    g_pt, c6, F = out["g_pt"], out["c6"], out["F"]
+
+    gmax = jnp.maximum(jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_pt)))
+    d_cam = jnp.diagonal(B0, axis1=-2, axis2=-1)     # (P, 6)
+    d_pt = c6[:, C6_DIAG, :]                         # (NR, 3, G)
+    if options.jacobi_scaling:
+        s_cam = jnp.where(
+            d_cam > 0, 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d_cam, 0.0))), 1.0)
+        s_pt = jnp.where(
+            d_pt > 0, 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d_pt, 0.0))), 1.0)
+        g_cam = g_cam * s_cam
+        g_pt = g_pt * s_pt
+        c6 = c6 * jnp.stack([s_pt[:, p] * s_pt[:, q]
+                             for (p, q) in C6_PAIRS], axis=1)
+        scw = plan.pose_windows(s_cam)               # (NR, W, 6)
+        F = (F.reshape(F.shape[:2] + (6, 3) + F.shape[-1:])
+             * scw[:, :, :, None, None] * s_pt[:, None, None, :, :])
+        F = F.reshape(F.shape[:2] + (18,) + F.shape[-1:])
+        s_next = jnp.concatenate([s_cam[1:], jnp.zeros_like(s_cam[:1])])
+        B0 = B0 * s_cam[:, :, None] * s_cam[:, None, :]
+        B1 = B1 * s_cam[:, :, None] * s_next[:, None, :]
+    else:
+        s_cam = jnp.ones_like(d_cam)
+        s_pt = jnp.ones_like(d_pt)
+    return {
+        "cost": out["cost"], "g_cam": g_cam, "g_pt": g_pt, "c6": c6,
+        "F": F, "B0": B0, "B1": B1, "s_cam": s_cam, "s_pt": s_pt,
+        "gradient_max_norm": gmax,
+    }
+
+
+# --- solve step --------------------------------------------------------------
+
+def schur_band_planes(F: jax.Array, Cinv: jax.Array, B0: jax.Array,
+                      B1: jax.Array, lm_cam: jax.Array,
+                      plan: WindowPlan) -> jax.Array:
+    """S_λ band (P, W, 6, 6) from planes-layout F and C⁻¹."""
+    W = plan.W
+    F5 = F.reshape(F.shape[0], W, 6, 3, F.shape[-1])
+    Y = jnp.einsum("swaxg,sxyg->swayg", F5, Cinv)
+    bands = []
+    for d in range(W):
+        v = jnp.einsum("swayg,swbyg->swab", Y[:, :W - d], F5[:, d:])
+        if d > 0:
+            v = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
+        bands.append(plan.fold(v))
+    S = -jnp.stack(bands, axis=1)                    # (P, W, 6, 6)
+    S = S.at[:, 0].add(B0 + jax.vmap(jnp.diag)(lm_cam))
+    if W > 1:
+        S = S.at[:, 1].add(B1)
+    return S
+
+
+def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
+    P = plan.n_poses
+    W = plan.W
+    F, c6 = aux["F"], aux["c6"]
+    g_cam, g_pt = aux["g_cam"], aux["g_pt"]
+
+    d_cam = jnp.diagonal(aux["B0"], axis1=-2, axis2=-1)
+    lm_cam, _ = _lm_scaled_damp(d_cam.reshape(-1), radius, options)
+    lm_cam = lm_cam.reshape(P, POSE_DOF)
+    d_pt = c6[:, C6_DIAG, :]
+    lm_pt, _ = _lm_scaled_damp(d_pt.reshape(-1), radius, options)
+    lm_pt = lm_pt.reshape(d_pt.shape)                # (NR, 3, G)
+    c6_l = c6.at[:, C6_DIAG, :].add(lm_pt)
+    Cinv = _sym_full(invert_sym3_planes(c6_l))       # (NR, 3, 3, G)
+
+    S = schur_band_planes(F, Cinv, aux["B0"], aux["B1"], lm_cam, plan)
+    F5 = F.reshape(F.shape[0], W, 6, 3, F.shape[-1])
+
+    # rhs: b = −g_cam − E C_λ⁻¹ (−g_pt)
+    y0 = jnp.einsum("sxyg,syg->sxg", Cinv, -g_pt)
+    b = -g_cam - plan.fold(jnp.einsum("swaxg,sxg->swa", F5, y0))
+
+    L0 = jax.vmap(jnp.linalg.cholesky)(S[:, 0])
+
+    def precond(r_flat):
+        r = r_flat.reshape(P, POSE_DOF)
+        z = jax.vmap(lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
+            L0, r)
+        return z.reshape(-1)
+
+    def matvec(p_flat):
+        return banded.band_matvec(S, p_flat.reshape(P, POSE_DOF)).reshape(-1)
+
+    dc_flat, r_cg, iters = pcg(matvec, precond, b.reshape(-1),
+                               options.max_cg_iterations, options.cg_eta)
+    dc = dc_flat.reshape(P, POSE_DOF)
+
+    # Back-substitute landmarks (planes layout).
+    pw = plan.pose_windows(dc)                       # (NR, W, 6)
+    et = jnp.einsum("swaxg,swa->sxg", F5, pw)
+    dp = jnp.einsum("sxyg,syg->sxg", Cinv, -g_pt - et)
+
+    gTdx = jnp.sum(g_cam * dc) + jnp.sum(g_pt * dp)
+    dDd = jnp.sum(lm_cam * dc * dc) + jnp.sum(lm_pt * dp * dp)
+    predicted = 0.5 * (dDd - gTdx) - 0.5 * jnp.dot(r_cg, dc_flat)
+
+    dx = {"pose": aux["s_cam"] * dc, "pt": aux["s_pt"] * dp}
+    return dx, predicted, iters
+
+
+# --- solver-fns dict ----------------------------------------------------------
+
+def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
+                        options: SolverOptions, interpret: bool = False):
+    """lm.solve phase functions: Pallas prepare + planes solve_step.
+
+    ``interpret=True`` runs the kernel in Pallas interpreter mode (CPU
+    tests); on TPU leave False.
+    """
+    from .lm import inlier_threshold
+    thresh = inlier_threshold(problem)
+
+    def apply_step(plan: WindowPlan, problem: Problem, params: Params, dx):
+        ptf = plan.gather_point_scalar(problem.point_free)   # (NR, G)
+        d_pose = dx["pose"] * problem.pose_free[:, None]
+        d_pt = dx["pt"] * ptf[:, None, :]
+        q = quat.boxplus(params.q, d_pose[:, :3])
+        c = params.c + d_pose[:, 3:]
+        new = params.replace(q=q, c=c, points=params.points + d_pt)
+        step_norm = jnp.sqrt(jnp.sum(d_pose ** 2) + jnp.sum(d_pt ** 2))
+        x_norm = jnp.sqrt(
+            jnp.sum(params.c ** 2) + jnp.sum(params.points ** 2)
+            + jnp.sum(params.q ** 2) + jnp.sum(params.intr ** 2))
+        return new, step_norm, x_norm
+
+    def _wrap(f, *bound):
+        jf = jax.jit(f)
+
+        def call(*args):
+            with jax.default_matmul_precision(options.matmul_precision):
+                return jf(*bound, *args)
+
+        return call
+
+    return {
+        "prepare": _wrap(
+            lambda pl_, pr_, p: prepare(pl_, pr_, options, p, interpret),
+            plan, problem),
+        "solve_step": _wrap(
+            lambda pl_, aux, radius: solve_step(pl_, options, aux, radius),
+            plan),
+        "apply_step": _wrap(apply_step, plan, problem),
+        "cost": _wrap(
+            lambda pl_, pr_, p: banded.cost_only(pl_, pr_, _as_v1(p, pl_)),
+            plan, problem),
+        "cost_decrease": _wrap(
+            lambda pl_, pr_, a, b: banded.cost_decrease(
+                pl_, pr_, _as_v1(a, pl_), _as_v1(b, pl_)),
+            plan, problem),
+        "error_stats": _wrap(
+            lambda pl_, pr_, p: banded.error_stats(
+                pl_, pr_, _as_v1(p, pl_), thresh),
+            plan, problem),
+        "to_internal": _wrap(lambda pl_, p: to_internal(p, pl_), plan),
+        "to_external": _wrap(lambda pl_, p: to_external(p, pl_), plan),
+    }

@@ -50,6 +50,13 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         from .window import build_window_plan
         plan = build_window_plan(problem)
         if plan is not None:
+            # "axon" is the PJRT tunnel backend name for the real TPU chip.
+            use_pallas = (options.evaluator == "pallas"
+                          or (options.evaluator == "auto"
+                              and jax.default_backend() in ("tpu", "axon")))
+            if use_pallas:
+                from .banded_tpu import make_tpu_solver_fns
+                return make_tpu_solver_fns(problem, plan, options)
             from .banded import make_window_solver_fns
             return make_window_solver_fns(problem, plan, options)
         if options.linear_solver == "banded_schur":

@@ -42,6 +42,11 @@ class SolverOptions:
     # Iterative refinement sweeps after dense Cholesky (f32 robustness —
     # SURVEY.md §7.2 item 1).
     refinement_steps: int = 1
+    # Hot-path evaluator for the banded window solver: "pallas" = the fused
+    # Pallas evaluate+assemble kernel (kernels/fused.py), "xla" = the
+    # portable XLA window engine (banded.py), "auto" = pallas on the TPU
+    # backend, xla elsewhere.
+    evaluator: str = "auto"
     # Matmul precision for solver computations.  On TPU the default lowers
     # f32 matmuls to bf16 passes (~8 mantissa bits) — catastrophic for
     # normal equations (measured: 5%-worse final cost, 40 vs 6 LM iters).
@@ -60,3 +65,7 @@ class SolverOptions:
             raise ValueError(
                 f"preconditioner must be one of {PRECONDITIONERS}, "
                 f"got {self.preconditioner!r}")
+        if self.evaluator not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"evaluator must be 'auto', 'pallas' or 'xla', "
+                f"got {self.evaluator!r}")

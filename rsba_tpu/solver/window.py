@@ -125,11 +125,16 @@ class WindowPlan:
         return oh * self.mask[..., None]
 
     def onehot_b(self, dtype) -> jax.Array:
-        """(NR, G, L, W) one-hot of offs_b, masked; zero where not RS."""
+        """(NR, G, L, W) one-hot of offs_b, masked by the slot mask.
+
+        Not gated on rs_ab: a same-pose slot (pose_b == pose_a) must still
+        route its J_pb contribution to the shared pose (J_pb ≡ 0 for pure
+        global shutter, but not for an RS model with a degenerate pair).
+        """
         offs_b = self.offs_a + self.rs_ab.astype(jnp.int32)
         oh = (offs_b[..., None]
               == jnp.arange(self.W)[None, None, None, :]).astype(dtype)
-        return oh * (self.mask * self.rs_ab)[..., None]
+        return oh * self.mask[..., None]
 
     def gather_points(self, points: jax.Array) -> jax.Array:
         """(M, D) → (NR, G, D) padded window layout (sentinel row zero)."""
@@ -161,7 +166,8 @@ def _round_up(x: int, m: int) -> int:
 
 def build_window_plan(problem: Problem, max_window: int = 24,
                       g_multiple: int = 8,
-                      g_target: Optional[int] = None) -> Optional[WindowPlan]:
+                      g_target: Optional[int] = None,
+                      nr_multiple: int = 8) -> Optional[WindowPlan]:
     """Host-side plan construction.  Returns None when the problem does not
     fit the window layout (see module docstring for the conditions)."""
     if problem.intr_tangent_dim != 0:
@@ -227,6 +233,11 @@ def build_window_plan(problem: Problem, max_window: int = 24,
             row_len.append(take)
             off += take
         start += cnt
+    # Pad the row count (empty masked rows) so kernels can tile it.
+    while len(row_base_list) % nr_multiple != 0:
+        row_base_list.append(0)
+        row_of_chunk.append(0)
+        row_len.append(0)
     NR = len(row_base_list)
     row_base = np.asarray(row_base_list, dtype=np.int32)
 
