@@ -226,7 +226,7 @@ def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
     cb = tuple(pp[:, 11 + c] for c in range(3))
     pf_a = pp[:, 14]
     pf_b = pp[:, 15]
-    ptf = jnp.broadcast_to(ptf_ref[:][:, None, :], (RT, L, G))
+    ptf = jnp.broadcast_to(ptf_ref[:], (RT, L, G))   # in as (RT, 1, G)
     X = tuple(jnp.broadcast_to(pts[:, i:i + 1, :], (RT, L, G))
               for i in range(3))
     uv0 = uv[:, 0]                    # (RT, L, G)
@@ -277,11 +277,15 @@ def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
             Jt.append((sqrt_rho1 * (j0 - aos * r0 * rTJ),
                        sqrt_rho1 * (j1 - aos * r1 * rTJ)))
 
-    # Padding + constant-block masks.
-    rt0 = rt0 * mask
-    rt1 = rt1 * mask
+    # Padding + constant-block masks.  Selection, not multiplication:
+    # padded slots can project degenerately (0/0 → NaN) and mask·NaN
+    # would poison every reduction below.
+    valid = mask > 0
+    rt0 = jnp.where(valid, rt0, 0.0)
+    rt1 = jnp.where(valid, rt1, 0.0)
     col_mask = [pf_a] * 6 + [pf_b] * 6 + [ptf] * 3
-    Jm = [(mask * cm * j0, mask * cm * j1)
+    Jm = [(jnp.where(jnp.logical_and(valid, cm > 0), j0, 0.0),
+           jnp.where(jnp.logical_and(valid, cm > 0), j1, 0.0))
           for (j0, j1), cm in zip(Jt, col_mask)]
 
     # --- reductions -----------------------------------------------------
@@ -289,8 +293,8 @@ def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
         """(RT, L, G) → (RT, 1), summed over L then G (keepdims, ≥2-D)."""
         return jnp.sum(jnp.sum(x, axis=1), axis=1, keepdims=True)
 
-    row_cost = 0.5 * rsum(mask * rho)                 # (RT, 1)
-    cost_ref[:] = jnp.broadcast_to(row_cost, cost_ref.shape)
+    row_cost = 0.5 * rsum(jnp.where(valid, rho, 0.0))  # (RT, 1)
+    cost_ref[:] = jnp.broadcast_to(row_cost[:, None, :], cost_ref.shape)
 
     # Point-side: g_pt (RT, 3, G), C6 (RT, 6, G) — sum over L.
     for p in range(3):
@@ -369,6 +373,11 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     tiles = NR // RT
     dtype = pts.dtype
 
+    # Blocks whose trailing two dims are smaller than (8, 128) must equal
+    # the full array dims (Mosaic tiling rule) — give ptf and the cost
+    # output a unit middle axis so that holds for any row_tile.
+    ptf3 = ptf[:, None, :]                                # (NR, 1, G)
+
     grid = (tiles,)
     row_block = lambda *s: pl.BlockSpec(  # noqa: E731
         (RT,) + s, lambda i: (i,) + (0,) * len(s),
@@ -376,7 +385,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     smem_block = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((NR, 8), dtype),             # cost per row
+        jax.ShapeDtypeStruct((NR, 1, 8), dtype),          # cost per row
         jax.ShapeDtypeStruct((NR, W, 6), dtype),          # gw
         jax.ShapeDtypeStruct((NR, W, 36), dtype),         # b0
         jax.ShapeDtypeStruct((NR, W, 36), dtype),         # b1
@@ -385,7 +394,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
         jax.ShapeDtypeStruct((NR, W, 18, G), dtype),      # F
     )
     out_specs = (
-        pl.BlockSpec((RT, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        row_block(1, 8),
         row_block(W, 6),
         row_block(W, 36),
         row_block(W, 36),
@@ -396,7 +405,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     in_specs = [
         row_block(16, L, G),  # pose planes
         row_block(3, G),      # pts
-        row_block(G),         # ptf
+        row_block(1, G),      # ptf
         row_block(2, L, G),   # uv
         row_block(L, G),      # tt
         row_block(L, G),      # mask
@@ -414,6 +423,6 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(pose, pts, ptf, uv, tt, mask, offs, rsf, intr)
-    return {"cost": jnp.sum(cost_t[:, 0]), "gw": gw, "b0": b0, "b1": b1,
+    )(pose, pts, ptf3, uv, tt, mask, offs, rsf, intr)
+    return {"cost": jnp.sum(cost_t[:, 0, 0]), "gw": gw, "b0": b0, "b1": b1,
             "g_pt": gpt, "c6": c6, "F": F}

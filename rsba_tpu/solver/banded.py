@@ -107,7 +107,10 @@ def cost_only(plan: WindowPlan, problem: Problem, params: Params):
     r = residuals_raw(params, plan, problem)
     s = jnp.sum(r * r, axis=-1)
     rho, _, _ = problem.loss.evaluate(s)
-    return 0.5 * jnp.sum(plan.mask * rho)
+    # Selection, not multiplication: padded slots gather a sentinel point
+    # that can project degenerately (0/0 → NaN) — e.g. the gauge-fixed
+    # first camera at the origin — and mask·NaN would poison the sum.
+    return 0.5 * jnp.sum(jnp.where(plan.mask > 0, rho, 0.0))
 
 
 def cost_decrease(plan: WindowPlan, problem: Problem, p_old: Params,
@@ -118,7 +121,7 @@ def cost_decrease(plan: WindowPlan, problem: Problem, p_old: Params,
     r_new = residuals_raw(p_new, plan, problem)
     rho_old, _, _ = problem.loss.evaluate(jnp.sum(r_old * r_old, axis=-1))
     rho_new, _, _ = problem.loss.evaluate(jnp.sum(r_new * r_new, axis=-1))
-    return 0.5 * jnp.sum(plan.mask * (rho_old - rho_new))
+    return 0.5 * jnp.sum(jnp.where(plan.mask > 0, rho_old - rho_new, 0.0))
 
 
 def error_stats(plan: WindowPlan, problem: Problem, params: Params,
@@ -126,8 +129,9 @@ def error_stats(plan: WindowPlan, problem: Problem, params: Params,
     r = residuals_raw(params, plan, problem)
     s = jnp.sum(r * r, axis=-1)
     m = plan.mask
+    s = jnp.where(m > 0, s, 0.0)          # block NaN from padded slots
     inl = m * (s <= inlier_threshold * inlier_threshold)
-    return (jnp.sum(m * s), jnp.sum(m), jnp.sum(inl * s), jnp.sum(inl))
+    return (jnp.sum(s), jnp.sum(m), jnp.sum(inl * s), jnp.sum(inl))
 
 
 def evaluate(params: Params, plan: WindowPlan, problem: Problem
@@ -170,9 +174,11 @@ def evaluate(params: Params, plan: WindowPlan, problem: Problem
     J_full = jnp.concatenate([J_pa, J_pb, J_pt], axis=-1)   # (S, 2, 15)
     rt, Jt, rho = problem.loss.correct(r, J_full)
     mask_f = flat(plan.mask)
-    cost = 0.5 * jnp.sum(mask_f * rho)
-    rt = rt * mask_f[:, None]
-    Jt = Jt * mask_f[:, None, None]
+    # where-selection (not multiplication) so NaN from degenerately
+    # projecting padded slots cannot reach cost or normal equations.
+    cost = 0.5 * jnp.sum(jnp.where(mask_f > 0, rho, 0.0))
+    rt = jnp.where(mask_f[:, None] > 0, rt, 0.0)
+    Jt = jnp.where(mask_f[:, None, None] > 0, Jt, 0.0)
     J_pa, J_pb, J_pt = jnp.split(Jt, [POSE_DOF, 2 * POSE_DOF], axis=-1)
 
     grid = (plan.NR, plan.G, plan.L)

@@ -194,3 +194,27 @@ def test_banded_full_solve_converges(ba, plan):
 def test_auto_selects_banded(ba):
     fns = lm.make_solver_fns(ba.problem, SolverOptions(linear_solver="auto"))
     assert "to_internal" in fns
+
+
+def test_origin_camera_no_nan(ba, plan):
+    """Padded cells gather a zero sentinel point; a gauge-fixed camera at
+    the origin then projects it with Xc = 0 → 0/0.  The masked reductions
+    must select (not multiply) so the NaN never reaches cost/gradients."""
+    p0 = ba.params0.replace(c=ba.params0.c.at[0].set(0.0))
+    params_int = banded.to_internal(p0, plan)
+
+    c_w = banded.cost_only(plan, ba.problem, params_int)
+    c_f = residuals.cost_only(p0, ba.problem)
+    assert np.isfinite(float(c_w))
+    np.testing.assert_allclose(float(c_w), float(c_f), rtol=1e-12)
+
+    ev = banded.evaluate(params_int, plan, ba.problem)
+    for leaf in jax.tree.leaves(ev):
+        assert bool(jnp.all(jnp.isfinite(leaf))), "non-finite in evaluate"
+
+    sq, n, sq_in, n_in = banded.error_stats(plan, ba.problem, params_int,
+                                            12.0)
+    assert np.isfinite(float(sq)) and np.isfinite(float(sq_in))
+
+    dec = banded.cost_decrease(plan, ba.problem, params_int, params_int)
+    np.testing.assert_allclose(float(dec), 0.0, atol=1e-12)
