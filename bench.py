@@ -2,9 +2,11 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
 Workload: BASELINE.json config 4 (rolling-shutter SLERP + distortion +
-Huber, 1k cams / 100k pts at scale=1.0) solved with the iterative-Schur
-(PCG) solver in f32 on the default device (the real TPU chip under the
-driver; CPU elsewhere).
+Huber, 1k cams / 100k pts at scale=1.0) solved with linear_solver="auto"
+— the banded window Schur solver with the fused Pallas evaluator on TPU
+(falls back to the XLA window engine if the kernel cannot compile) — in
+f32 on the default device (the real TPU chip under the driver; CPU
+elsewhere).  The resolved engine is reported in the JSON.
 
 Metric: wall-clock to convergence — cumulative LM-iteration time until
 cost is within 0.1% of the converged cost ("wall-clock to equal-RMSE",
@@ -71,7 +73,7 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     from rsba_tpu.solver.options import SolverOptions
-    opts = SolverOptions(linear_solver="iterative_schur",
+    opts = SolverOptions(linear_solver="auto",
                          preconditioner="schur_jacobi",
                          max_cg_iterations=100, cg_eta=1e-2,
                          max_iterations=60,
@@ -92,8 +94,9 @@ def main():
             "final_cost": s.final_cost,
             "final_rmse": s.final_rmse_inlier,
             "iters_per_sec": iters_per_sec,
-            "solver": "rsba_tpu iterative_schur, XLA-CPU f64 "
-                      "(Ceres-CPU stand-in; Ceres not installed — "
+            "total_s": sum(i.wall_time for i in s.iterations),
+            "solver": f"rsba_tpu {s.linear_solver}/{s.evaluator}, XLA-CPU "
+                      "f64 (Ceres-CPU stand-in; Ceres not installed — "
                       "SURVEY.md §6)",
         }
         BASELINE_FILE.parent.mkdir(parents=True, exist_ok=True)
@@ -105,16 +108,21 @@ def main():
 
     base = baselines.get(key)
     vs = (base["wall_to_conv_s"] / wall) if base else 0.0
+    total_s = sum(i.wall_time for i in s.iterations)
     print(json.dumps({
         "metric": f"{key} wall-to-convergence (RS-SLERP+Huber BA, "
-                  "PCG-Schur, f32 TPU; speedup vs stored XLA-CPU f64)",
+                  f"{s.linear_solver}/{s.evaluator}, f32 TPU; speedup vs "
+                  "stored XLA-CPU f64)",
         "value": round(wall, 3), "unit": "s",
         "vs_baseline": round(vs, 3),
+        "total_s": round(total_s, 3),
+        "iters_per_sec": round(iters_per_sec, 3),
         "details": {
             "final_rmse_px": round(s.final_rmse_inlier, 4),
             "termination": s.termination,
             "lm_iterations": len(s.iterations),
-            "iters_per_sec": round(iters_per_sec, 3),
+            "linear_solver": s.linear_solver,
+            "evaluator": s.evaluator,
             "cpu_baseline_s": base["wall_to_conv_s"] if base else None,
             "cpu_baseline_final_rmse_px": (round(base["final_rmse"], 4)
                                            if base else None),

@@ -21,9 +21,11 @@ import time
 CONFIG_SOLVER_DEFAULTS = {
     "gs_small": "dense",
     "gs_bal": "dense_schur",
-    "rs_video_linear": "dense_schur",
-    "rs_slerp_robust": "iterative_schur",
-    "rs_mhost_pcg": "iterative_schur",
+    # Video configs: "auto" resolves to the banded window solver (the TPU
+    # hot path — Pallas fused evaluator on TPU, XLA window engine on CPU).
+    "rs_video_linear": "auto",
+    "rs_slerp_robust": "auto",
+    "rs_mhost_pcg": "auto",
 }
 
 
@@ -42,8 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", choices=["f32", "f64"], default=None,
                    help="default: f32 on TPU, f64 on CPU")
     p.add_argument("--linear-solver",
-                   choices=["dense", "dense_schur", "iterative_schur"],
+                   choices=["auto", "dense", "dense_schur",
+                            "iterative_schur", "banded_schur"],
                    default=None, help="default: per-config preset")
+    p.add_argument("--evaluator", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="banded-solver evaluator: fused Pallas kernel or "
+                        "the portable XLA window engine (default: pallas "
+                        "on TPU, xla elsewhere)")
     p.add_argument("--preconditioner",
                    choices=["jacobi", "schur_jacobi"],
                    default="schur_jacobi")
@@ -107,6 +115,7 @@ def main(argv=None) -> int:
               or CONFIG_SOLVER_DEFAULTS.get(args.config or "", "dense_schur"))
     options = SolverOptions(
         linear_solver=solver, preconditioner=args.preconditioner,
+        evaluator=args.evaluator,
         max_iterations=args.max_iterations,
         max_cg_iterations=args.max_cg_iterations, cg_eta=args.cg_eta,
         function_tolerance=args.function_tolerance, verbose=args.verbose)
@@ -137,6 +146,10 @@ def main(argv=None) -> int:
     info = None
     if args.shard:
         from .. import dist
+        if options.linear_solver in ("auto", "banded_schur"):
+            # The sharded solver runs on the flat layout (PCG).
+            options = options.__class__(
+                **{**options.__dict__, "linear_solver": "iterative_schur"})
         mesh = dist.make_mesh()
         problem, params0, info = dist.repartition_by_point(
             problem, params0, n_shards=mesh.devices.size)
@@ -154,7 +167,8 @@ def main(argv=None) -> int:
     else:
         print(summary.brief_report())
     print(json.dumps({
-        "problem": name, "solver": solver, "dtype": args.dtype,
+        "problem": name, "solver": summary.linear_solver,
+        "evaluator": summary.evaluator, "dtype": args.dtype,
         "termination": summary.termination,
         "final_cost": summary.final_cost,
         "final_rmse_px": summary.final_rmse,

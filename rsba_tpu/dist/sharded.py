@@ -298,4 +298,5 @@ def make_sharded_solver_fns(problem: Problem, options: SolverOptions,
         "cost_decrease": lambda p_old, p_new: _cost_dec(problem, p_old,
                                                         p_new),
         "error_stats": lambda params: _stats(problem, params),
+        "engine": (options.linear_solver, "xla-flat-sharded"),
     }

@@ -351,12 +351,45 @@ def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
 _POSE_PLANES = ("qa_w qa_x qa_y qa_z ca_x ca_y ca_z "
                 "qb_w qb_x qb_y qb_z cb_x cb_y cb_z pf_a pf_b").split()
 
+#: scoped-VMEM budget the row-tile picker aims under (the hardware limit
+#: is 16 MiB; leave headroom for Mosaic's own scratch)
+VMEM_BUDGET_BYTES = 14 << 20
+
+
+def estimate_vmem_bytes(row_tile: int, W: int, L: int, G: int,
+                        itemsize: int = 4) -> int:
+    """Rough upper bound on the kernel's scoped-VMEM live set.
+
+    The live set is dominated by (row_tile, L, G) component planes —
+    inputs, residual/Jacobian planes, pair products, and per-window masks
+    — whose count grows linearly in the window span W.  The coefficients
+    are calibrated against the Mosaic scoped-allocation report at the
+    config-4 shape (RT=8, W=11, L=10, G=112 → 16.74 MB).
+    """
+    lp = -(-L // 8) * 8          # sublane padding
+    gp = -(-G // 128) * 128      # lane padding
+    plane = row_tile * lp * gp * itemsize
+    return plane * (100 + 14 * W)
+
+
+def pick_row_tile(NR: int, W: int, L: int, G: int, itemsize: int = 4) -> int:
+    """Largest row tile in {8, 4, 2, 1} that divides NR and fits the
+    VMEM budget (the final fallback 1 is returned even if the estimate
+    exceeds budget — the caller's trial compile decides)."""
+    for rt in (8, 4, 2, 1):
+        if NR % rt == 0 and estimate_vmem_bytes(rt, W, L, G,
+                                                itemsize) <= VMEM_BUDGET_BYTES:
+            return rt
+    return 1
+
 
 def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
                             rsf, intr, W: int, *, model: CameraModel,
-                            loss: Loss, row_tile: int = 8,
+                            loss: Loss, row_tile: int = 0,
                             interpret: bool = False):
     """Run the fused kernel over all window rows.
+
+    ``row_tile=0`` picks the largest VMEM-fitting tile (pick_row_tile).
 
     Shapes (NR divisible by ``row_tile``; pad rows with mask=0 first):
       pose (NR, 16, L, G) per-slot planes in _POSE_PLANES order,
@@ -368,7 +401,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     """
     NR = pose.shape[0]
     _, L, G = tt.shape
-    RT = row_tile
+    RT = row_tile or pick_row_tile(NR, W, L, G, pts.dtype.itemsize)
     assert NR % RT == 0, (NR, RT)
     tiles = NR // RT
     dtype = pts.dtype

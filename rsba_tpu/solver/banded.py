@@ -444,4 +444,5 @@ def make_window_solver_fns(problem: Problem, plan: WindowPlan,
             lambda pl, pr, p: error_stats(pl, pr, p, thresh), plan, problem),
         "to_internal": _wrap(lambda pl, p: to_internal(p, pl), plan),
         "to_external": _wrap(lambda pl, p: to_external(p, pl), plan),
+        "engine": ("banded_schur", "xla"),
     }

@@ -109,7 +109,8 @@ def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
             params: Params, interpret: bool):
     out = fused.fused_evaluate_assemble(
         *_kernel_inputs(params, plan, problem),
-        model=problem.model, loss=problem.loss, interpret=interpret)
+        model=problem.model, loss=problem.loss,
+        row_tile=options.row_tile, interpret=interpret)
     P = plan.n_poses
     g_cam = plan.fold(out["gw"])                     # (P, 6)
     B0 = plan.fold(out["b0"]).reshape(P, 6, 6)
@@ -272,4 +273,5 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
             plan, problem),
         "to_internal": _wrap(lambda pl_, p: to_internal(p, pl_), plan),
         "to_external": _wrap(lambda pl_, p: to_external(p, pl_), plan),
+        "engine": ("banded_schur", "pallas"),
     }

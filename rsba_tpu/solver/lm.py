@@ -37,6 +37,25 @@ def inlier_threshold(problem: Problem) -> float:
     return 3.0 * problem.loss.scale
 
 
+def _trial_prepare(fns, problem: Problem):
+    """Force-compile the hot ``prepare`` phase with dummy parameters.
+
+    Surfaces Mosaic/XLA compile failures (e.g. a Pallas scoped-VMEM
+    overflow) at solver-build time so the caller can fall back to the
+    portable XLA engine instead of crashing mid-solve.  The jit cache
+    stays warm for the real parameters (identical shapes/dtypes)."""
+    dtype = problem.pose_free.dtype
+    P = int(problem.pose_free.shape[0])
+    M = int(problem.point_free.shape[0])
+    K = int(problem.intr_free.shape[0])
+    q = jnp.zeros((P, 4), dtype).at[:, 0].set(1.0)
+    dummy = Params(q=q, c=jnp.zeros((P, 3), dtype),
+                   intr=jnp.ones((K, 9), dtype),
+                   points=jnp.ones((M, 3), dtype))
+    aux = fns["prepare"](fns["to_internal"](dummy))
+    jax.block_until_ready(aux["cost"])
+
+
 def make_solver_fns(problem: Problem, options: SolverOptions):
     """Build the jitted phase functions for a given problem structure.
 
@@ -45,6 +64,10 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
     falls back to ``iterative_schur`` on the flat layout otherwise.
     ``"banded_schur"`` requires the window layout and raises if it does
     not apply.
+
+    Every returned dict carries ``fns["engine"] = (linear_solver,
+    evaluator)`` — the *resolved* pair, recorded in the Summary so logs
+    and benchmarks always show which engine actually ran.
     """
     if options.linear_solver in ("auto", "banded_schur"):
         from .window import build_window_plan
@@ -56,7 +79,16 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
                               and jax.default_backend() in ("tpu", "axon")))
             if use_pallas:
                 from .banded_tpu import make_tpu_solver_fns
-                return make_tpu_solver_fns(problem, plan, options)
+                fns = make_tpu_solver_fns(problem, plan, options)
+                try:
+                    _trial_prepare(fns, problem)
+                    return fns
+                except Exception as e:  # Mosaic VMEM overflow etc.
+                    import warnings
+                    warnings.warn(
+                        "Pallas fused evaluator failed to compile "
+                        f"({type(e).__name__}: {str(e)[:200]}); falling "
+                        "back to the XLA window engine")
             from .banded import make_window_solver_fns
             return make_window_solver_fns(problem, plan, options)
         if options.linear_solver == "banded_schur":
@@ -118,6 +150,7 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         "cost": _wrap(cost_fn),
         "cost_decrease": _wrap(cost_decrease_fn),
         "error_stats": _wrap(error_stats),
+        "engine": (options.linear_solver, "xla-flat"),
     }
 
 
@@ -138,7 +171,8 @@ def solve(problem: Problem, params: Params,
     t_start = time.perf_counter()
     if fns is None:
         fns = make_solver_fns(problem, options)
-    summary = Summary(linear_solver=options.linear_solver)
+    engine = fns.get("engine", (options.linear_solver, ""))
+    summary = Summary(linear_solver=engine[0], evaluator=engine[1])
     shapes = assembly.tangent_shapes(problem, params)
     summary.num_residuals = int(2 * jnp.sum(problem.obs.mask))
     summary.num_parameters_tangent = shapes.total_dim

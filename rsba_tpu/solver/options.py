@@ -29,8 +29,13 @@ class SolverOptions:
     parameter_tolerance: float = 1e-8
     max_invalid_steps: int = 5         # consecutive non-finite-step budget
 
-    # Linear solver
-    linear_solver: str = "dense_schur"
+    # Linear solver.  "auto" (default) picks the banded window solver —
+    # the TPU hot path — when the problem's track structure admits it,
+    # falling back to iterative_schur on the flat layout otherwise.
+    linear_solver: str = "auto"
+    # Preconditioner for the flat iterative_schur solver.  The banded
+    # window solver always preconditions with Schur-Jacobi (the band's
+    # diagonal blocks); this knob does not apply there.
     preconditioner: str = "schur_jacobi"
     min_lm_diagonal: float = 1e-6
     max_lm_diagonal: float = 1e32
@@ -47,6 +52,10 @@ class SolverOptions:
     # portable XLA window engine (banded.py), "auto" = pallas on the TPU
     # backend, xla elsewhere.
     evaluator: str = "auto"
+    # Fused-kernel row tile (rows of the window grid per Pallas grid
+    # step).  0 = auto: the largest of {8, 4, 2, 1} whose estimated
+    # scoped-VMEM live set fits the 16 MiB limit (kernels/fused.py).
+    row_tile: int = 0
     # Matmul precision for solver computations.  On TPU the default lowers
     # f32 matmuls to bf16 passes (~8 mantissa bits) — catastrophic for
     # normal equations (measured: 5%-worse final cost, 40 vs 6 LM iters).

@@ -53,7 +53,10 @@ class Summary:
     evaluation_time: float = 0.0
     linear_solver_time: float = 0.0
     total_time: float = 0.0
+    # Resolved engine pair (what actually ran, not the requested string):
+    # e.g. ("banded_schur", "pallas") or ("iterative_schur", "xla-flat").
     linear_solver: str = ""
+    evaluator: str = ""
 
     @property
     def num_iterations(self) -> int:
@@ -74,7 +77,8 @@ class Summary:
             "----------------------",
             f"Residuals            : {self.num_residuals}",
             f"Tangent parameters   : {self.num_parameters_tangent}",
-            f"Linear solver        : {self.linear_solver}",
+            f"Linear solver        : {self.linear_solver}"
+            + (f" (evaluator: {self.evaluator})" if self.evaluator else ""),
             f"Initial cost         : {self.initial_cost:.12e}",
             f"Final cost           : {self.final_cost:.12e}",
             f"Initial RMSE (px)    : {self.initial_rmse:.6f}",
