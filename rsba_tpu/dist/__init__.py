@@ -8,11 +8,12 @@ is replicated.  The reference has no distributed layer (it is a
 single-process, shared-memory C++ solver); this subsystem is the
 TPU-native scaling design mandated by BASELINE.json's north star.
 """
+from .banded_sharded import make_sharded_window_solver_fns
 from .mesh import make_mesh, shard_ba
 from .partition import PartitionInfo, repartition_by_point
 from .sharded import make_sharded_solver_fns
 
 __all__ = [
     "make_mesh", "shard_ba", "PartitionInfo", "repartition_by_point",
-    "make_sharded_solver_fns",
+    "make_sharded_solver_fns", "make_sharded_window_solver_fns",
 ]

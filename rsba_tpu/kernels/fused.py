@@ -386,10 +386,17 @@ def pick_row_tile(NR: int, W: int, L: int, G: int, itemsize: int = 4) -> int:
 def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
                             rsf, intr, W: int, *, model: CameraModel,
                             loss: Loss, row_tile: int = 0,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            exact: bool | None = None):
     """Run the fused kernel over all window rows.
 
     ``row_tile=0`` picks the largest VMEM-fitting tile (pick_row_tile).
+    ``exact`` selects the atan path inside SLERP/lerp_aa: True uses
+    jnp.arctan2 (only lowerable in interpret mode — Pallas TPU has no
+    atan), False the Cephes polynomial the compiled kernel always runs.
+    Default (None): exact in interpret mode, polynomial on hardware.
+    Tests pass ``interpret=True, exact=False`` to validate the production
+    atan path against the XLA oracle (ADVICE r2).
 
     Shapes (NR divisible by ``row_tile``; pad rows with mask=0 first):
       pose (NR, 16, L, G) per-slot planes in _POSE_PLANES order,
@@ -448,7 +455,8 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     ]
 
     kernel = functools.partial(_kernel, model=model, loss=loss, W=W,
-                               dtype=dtype, exact=interpret)
+                               dtype=dtype,
+                               exact=interpret if exact is None else exact)
     cost_t, gw, b0, b1, gpt, c6, F = pl.pallas_call(
         kernel,
         grid=grid,

@@ -288,10 +288,11 @@ def band_matvec(S_band: jax.Array, x: jax.Array) -> jax.Array:
     return up + down
 
 
-def schur_band(assembly: BandAssembly, plan: WindowPlan, C_inv: jax.Array,
-               lm_cam: jax.Array) -> jax.Array:
-    """S_λ band: B_λ − F C_λ⁻¹ Fᵀ folded into (P, W, 6, 6)."""
-    F = assembly.F
+def fcf_band(F: jax.Array, plan: WindowPlan, C_inv: jax.Array) -> jax.Array:
+    """F C_λ⁻¹ Fᵀ folded into the (P, W, 6, 6) band.
+
+    Point-side only — under the sharded solver each shard computes this
+    from its local rows and the partial bands are psum'd."""
     Y = jnp.einsum("sgwax,sgxy->sgway", F, C_inv)     # F C⁻¹
     W = plan.W
     bands = []
@@ -300,8 +301,13 @@ def schur_band(assembly: BandAssembly, plan: WindowPlan, C_inv: jax.Array,
         if d > 0:
             v = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
         bands.append(plan.fold(v))
-    FCF = jnp.stack(bands, axis=1)                    # (P, W, 6, 6)
-    S = assembly.B_band - FCF
+    return jnp.stack(bands, axis=1)                   # (P, W, 6, 6)
+
+
+def schur_band(assembly: BandAssembly, plan: WindowPlan, C_inv: jax.Array,
+               lm_cam: jax.Array) -> jax.Array:
+    """S_λ band: B_λ − F C_λ⁻¹ Fᵀ folded into (P, W, 6, 6)."""
+    S = assembly.B_band - fcf_band(assembly.F, plan, C_inv)
     return S.at[:, 0].add(jax.vmap(jnp.diag)(lm_cam))
 
 

@@ -106,11 +106,11 @@ def _kernel_inputs(params: Params, plan: WindowPlan, problem: Problem):
 
 
 def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
-            params: Params, interpret: bool):
+            params: Params, interpret: bool, exact: bool | None = None):
     out = fused.fused_evaluate_assemble(
         *_kernel_inputs(params, plan, problem),
         model=problem.model, loss=problem.loss,
-        row_tile=options.row_tile, interpret=interpret)
+        row_tile=options.row_tile, interpret=interpret, exact=exact)
     P = plan.n_poses
     g_cam = plan.fold(out["gw"])                     # (P, 6)
     B0 = plan.fold(out["b0"]).reshape(P, 6, 6)
@@ -221,11 +221,13 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
 # --- solver-fns dict ----------------------------------------------------------
 
 def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
-                        options: SolverOptions, interpret: bool = False):
+                        options: SolverOptions, interpret: bool = False,
+                        exact: bool | None = None):
     """lm.solve phase functions: Pallas prepare + planes solve_step.
 
     ``interpret=True`` runs the kernel in Pallas interpreter mode (CPU
-    tests); on TPU leave False.
+    tests); on TPU leave False.  ``exact`` forces the kernel's atan path
+    (see fused.fused_evaluate_assemble).
     """
     from .lm import inlier_threshold
     thresh = inlier_threshold(problem)
@@ -254,7 +256,8 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
 
     return {
         "prepare": _wrap(
-            lambda pl_, pr_, p: prepare(pl_, pr_, options, p, interpret),
+            lambda pl_, pr_, p: prepare(pl_, pr_, options, p, interpret,
+                                        exact),
             plan, problem),
         "solve_step": _wrap(
             lambda pl_, aux, radius: solve_step(pl_, options, aux, radius),

@@ -102,6 +102,56 @@ def test_sharded_solve_equals_single_device(solver):
                                rtol=1e-4, atol=1e-7)
 
 
+def test_sharded_banded_matches_single_chip():
+    """Banded window solver over the 8-device mesh == single-device banded
+    solver: same cost/gradient, same step, same converged solution."""
+    from rsba_tpu.dist.banded_sharded import make_sharded_window_solver_fns
+    ba = _tiny(seed=5)
+    mesh = dist.make_mesh()
+    opts = SolverOptions(linear_solver="banded_schur",
+                         max_cg_iterations=300, cg_eta=1e-10)
+    fns_s = make_sharded_window_solver_fns(ba.problem, opts, mesh)
+    fns_1 = lm.make_solver_fns(ba.problem, opts)
+    assert fns_s["engine"] == ("banded_schur", "xla-window-sharded")
+
+    p_s = fns_s["to_internal"](ba.params0)
+    p_1 = fns_1["to_internal"](ba.params0)
+    aux_s = fns_s["prepare"](p_s)
+    aux_1 = fns_1["prepare"](p_1)
+    np.testing.assert_allclose(float(aux_s["cost"]), float(aux_1["cost"]),
+                               rtol=1e-12)
+    np.testing.assert_allclose(float(aux_s["gradient_max_norm"]),
+                               float(aux_1["gradient_max_norm"]), rtol=1e-10)
+
+    radius = jnp.asarray(1e4, jnp.float64)
+    dx_s, pred_s, _ = fns_s["solve_step"](aux_s, radius)
+    dx_1, pred_1, _ = fns_1["solve_step"](aux_1, radius)
+    np.testing.assert_allclose(float(pred_s), float(pred_1), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(dx_s["pose"]),
+                               np.asarray(dx_1["pose"]),
+                               rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(dx_s["pt"]).reshape(-1, 3),
+                               np.asarray(dx_1["pt"]).reshape(-1, 3),
+                               rtol=1e-6, atol=1e-12)
+
+
+def test_sharded_banded_full_solve():
+    """End-to-end sharded banded LM: converges and round-trips points."""
+    from rsba_tpu.dist.banded_sharded import make_sharded_window_solver_fns
+    ba = _tiny(seed=6)
+    mesh = dist.make_mesh()
+    opts = SolverOptions(linear_solver="banded_schur", max_iterations=30)
+    fns_s = make_sharded_window_solver_fns(ba.problem, opts, mesh)
+    p_s, sum_s = lm.solve(ba.problem, ba.params0, opts, fns=fns_s)
+    assert sum_s.termination == "CONVERGENCE", sum_s.message
+    assert sum_s.evaluator == "xla-window-sharded"
+    assert p_s.points.shape == ba.params0.points.shape
+
+    _, sum_1 = lm.solve(ba.problem, ba.params0, opts)
+    np.testing.assert_allclose(sum_s.final_rmse, sum_1.final_rmse,
+                               rtol=1e-6)
+
+
 def test_sharded_global_shutter_also_works():
     ba = _tiny(seed=4, rolling=False)
     prob2, params2, _ = dist.repartition_by_point(ba.problem, ba.params0,
