@@ -13,22 +13,41 @@ cost is within 0.1% of the converged cost ("wall-clock to equal-RMSE",
 BASELINE.json:2).  jit compilation is excluded (a warm-up solve caches
 it; Ceres, the reference baseline, has no compile phase either).
 
-vs_baseline: speedup over the stored CPU-f64 measurement of the same
-problem with the same criterion (benchmarks/baselines/cpu_config4.json,
-measured with this same script under JAX_PLATFORMS=cpu RSBA_BENCH_CPU=1;
-Ceres itself is not installed in this environment — SURVEY.md §6).
+Baselines (three tiers, SURVEY.md §3.5/§6 — Ceres itself is not
+installed in this environment):
+  vs_baseline        — our flat iterative-Schur solver on XLA-CPU f64:
+                       the Ceres-ITERATIVE_SCHUR algorithm stand-in
+                       (Ceres has no banded video solver), stored in
+                       benchmarks/baselines/cpu_config4.json under
+                       ":iterative_schur".
+  vs_same_algorithm  — the banded solver itself on XLA-CPU f64
+                       (":banded_schur" key): hardware-only speedup,
+                       same algorithm both sides.
+  vs_scipy           — external scipy.optimize.least_squares sparse-TRF
+                       baseline (benchmarks/baselines/scipy_config4.json),
+                       reported with its convergence status — scipy's
+                       robust TRF does not reach our final RMSE on this
+                       problem, so its wall time is a lower bound on its
+                       time-to-equal-RMSE.
+
+Roofline (BASELINE.json:5 "speed-of-light per chip"): prepare and
+solve_step are placed on the v5e roofline via XLA cost analysis
+(utils/roofline.py); the emitted JSON carries mfu / bandwidth_util /
+binding-roofline utilization per phase.
 
 Env knobs: RSBA_BENCH_SCALE (default 1.0), RSBA_BENCH_CONFIG
-(default rs_slerp_robust), RSBA_BENCH_CPU=1 to run the f64 CPU baseline
-and update the stored baseline file.
+(default rs_slerp_robust), RSBA_BENCH_CPU=1 to run an f64 CPU baseline
+and store it (with RSBA_BENCH_CPU_SOLVER=auto|iterative_schur choosing
+the engine), RSBA_BENCH_SKIP_ROOFLINE=1 to skip the roofline pass.
 """
 import json
 import os
 import pathlib
 import sys
 
-BASELINE_FILE = (pathlib.Path(__file__).parent / "benchmarks" / "baselines"
-                 / "cpu_config4.json")
+BASE_DIR = pathlib.Path(__file__).parent / "benchmarks" / "baselines"
+BASELINE_FILE = BASE_DIR / "cpu_config4.json"
+SCIPY_FILE = BASE_DIR / "scipy_config4.json"
 
 
 def wall_to_convergence(summary) -> float:
@@ -58,7 +77,7 @@ def run(config_name: str, scale: float, dtype_name: str, opts):
     fns = lm.make_solver_fns(ba.problem, opts)
     _, s_warm = lm.solve(ba.problem, ba.params0, opts, fns=fns)
     _, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
-    return ba, s, s_warm
+    return ba, fns, s, s_warm
 
 
 def main():
@@ -73,13 +92,15 @@ def main():
         jax.config.update("jax_enable_x64", True)
 
     from rsba_tpu.solver.options import SolverOptions
-    opts = SolverOptions(linear_solver="auto",
+    solver = (os.environ.get("RSBA_BENCH_CPU_SOLVER", "auto") if cpu_mode
+              else "auto")
+    opts = SolverOptions(linear_solver=solver,
                          preconditioner="schur_jacobi",
                          max_cg_iterations=100, cg_eta=1e-2,
                          max_iterations=60,
                          verbose=os.environ.get("RSBA_BENCH_VERBOSE") == "1")
 
-    ba, s, _ = run(config, scale, "f64" if cpu_mode else "f32", opts)
+    ba, fns, s, _ = run(config, scale, "f64" if cpu_mode else "f32", opts)
     wall = wall_to_convergence(s)
     iters_per_sec = (len(s.iterations) / sum(i.wall_time
                                              for i in s.iterations))
@@ -89,7 +110,7 @@ def main():
         baselines = json.loads(BASELINE_FILE.read_text())
 
     if cpu_mode:
-        baselines[key] = {
+        baselines[f"{key}:{s.linear_solver}"] = {
             "wall_to_conv_s": wall,
             "final_cost": s.final_cost,
             "final_rmse": s.final_rmse_inlier,
@@ -101,32 +122,69 @@ def main():
         }
         BASELINE_FILE.parent.mkdir(parents=True, exist_ok=True)
         BASELINE_FILE.write_text(json.dumps(baselines, indent=1) + "\n")
-        print(json.dumps({"metric": f"cpu_baseline {key} wall-to-convergence",
+        print(json.dumps({"metric": f"cpu_baseline {key}:{s.linear_solver} "
+                                    "wall-to-convergence",
                           "value": round(wall, 3), "unit": "s",
                           "vs_baseline": 1.0}))
         return
 
-    base = baselines.get(key)
-    vs = (base["wall_to_conv_s"] / wall) if base else 0.0
+    base_flat = baselines.get(f"{key}:iterative_schur") or baselines.get(key)
+    base_same = baselines.get(f"{key}:{s.linear_solver}")
+    vs = (base_flat["wall_to_conv_s"] / wall) if base_flat else 0.0
     total_s = sum(i.wall_time for i in s.iterations)
-    print(json.dumps({
+
+    details = {
+        "final_rmse_px": round(s.final_rmse_inlier, 4),
+        "termination": s.termination,
+        "lm_iterations": len(s.iterations),
+        "linear_solver": s.linear_solver,
+        "evaluator": s.evaluator,
+        "cpu_baseline_s": base_flat["wall_to_conv_s"] if base_flat else None,
+        "cpu_baseline_final_rmse_px": (round(base_flat["final_rmse"], 4)
+                                       if base_flat else None),
+    }
+    if base_same:
+        details["vs_same_algorithm_cpu"] = round(
+            base_same["wall_to_conv_s"] / wall, 3)
+        details["same_algorithm_cpu_s"] = base_same["wall_to_conv_s"]
+    if SCIPY_FILE.exists():
+        srec = json.loads(SCIPY_FILE.read_text()).get(key)
+        if srec:
+            details["vs_scipy"] = round(srec["time"] / wall, 3)
+            details["scipy_s"] = srec["time"]
+            details["scipy_final_rmse_inlier_px"] = round(
+                srec.get("rmse_inlier", srec.get("rmse", -1.0)), 4)
+            details["scipy_converged_to_parity"] = bool(
+                srec.get("rmse_inlier", 1e9)
+                <= 1.01 * s.final_rmse_inlier)
+
+    mfu = None
+    if os.environ.get("RSBA_BENCH_SKIP_ROOFLINE", "") != "1":
+        try:
+            from rsba_tpu.utils import roofline
+            rr = roofline.solver_report(fns, ba.params0, 1e4)
+            details["roofline"] = {
+                k: {kk: (round(vv, 4) if isinstance(vv, float) else vv)
+                    for kk, vv in v.items()}
+                for k, v in rr.items()}
+            mfu = rr["iteration"].get("mfu")
+        except Exception as e:  # cost analysis unavailable on some PJRT
+            details["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    out = {
         "metric": f"{key} wall-to-convergence (RS-SLERP+Huber BA, "
                   f"{s.linear_solver}/{s.evaluator}, f32 TPU; speedup vs "
-                  "stored XLA-CPU f64)",
+                  "stored XLA-CPU f64 iterative-Schur, the "
+                  "Ceres-algorithm stand-in)",
         "value": round(wall, 3), "unit": "s",
         "vs_baseline": round(vs, 3),
         "total_s": round(total_s, 3),
         "iters_per_sec": round(iters_per_sec, 3),
-        "details": {
-            "final_rmse_px": round(s.final_rmse_inlier, 4),
-            "termination": s.termination,
-            "lm_iterations": len(s.iterations),
-            "linear_solver": s.linear_solver,
-            "evaluator": s.evaluator,
-            "cpu_baseline_s": base["wall_to_conv_s"] if base else None,
-            "cpu_baseline_final_rmse_px": (round(base["final_rmse"], 4)
-                                           if base else None),
-        }}))
+        "details": details,
+    }
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+    print(json.dumps(out))
     if s.termination not in ("CONVERGENCE",):
         sys.exit(1)
 

@@ -146,15 +146,28 @@ def main(argv=None) -> int:
     info = None
     if args.shard:
         from .. import dist
+        mesh = dist.make_mesh()
+        fns = None
         if options.linear_solver in ("auto", "banded_schur"):
-            # The sharded solver runs on the flat layout (PCG).
+            # Prefer the banded window solver sharded along trajectory
+            # rows (one band psum per LM iteration, collective-free CG);
+            # fall back to the flat landmark-sharded PCG solver when the
+            # problem has no window structure.
+            try:
+                fns = dist.make_sharded_window_solver_fns(problem, options,
+                                                          mesh)
+            except ValueError as e:
+                if options.linear_solver == "banded_schur":
+                    raise
+                print(f"[rsba_tpu] window layout unavailable ({e}); "
+                      "using the flat sharded solver")
+        if fns is None:
             options = options.__class__(
                 **{**options.__dict__, "linear_solver": "iterative_schur"})
-        mesh = dist.make_mesh()
-        problem, params0, info = dist.repartition_by_point(
-            problem, params0, n_shards=mesh.devices.size)
-        problem, params0 = dist.shard_ba(problem, params0, mesh)
-        fns = dist.make_sharded_solver_fns(problem, options, mesh)
+            problem, params0, info = dist.repartition_by_point(
+                problem, params0, n_shards=mesh.devices.size)
+            problem, params0 = dist.shard_ba(problem, params0, mesh)
+            fns = dist.make_sharded_solver_fns(problem, options, mesh)
 
     params, summary = lm.solve(problem, params0, options,
                                callback=callback, fns=fns)

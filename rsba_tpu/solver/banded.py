@@ -438,6 +438,8 @@ def make_window_solver_fns(problem: Problem, plan: WindowPlan,
             with jax.default_matmul_precision(options.matmul_precision):
                 return jf(*bound, *args)
 
+        call._jitted = jf       # for utils.roofline (XLA cost analysis)
+        call._bound = bound
         return call
 
     return {

@@ -77,6 +77,92 @@ def _sym_full(c6: jax.Array) -> jax.Array:
         jnp.stack([c, e, f], axis=1)], axis=1)
 
 
+# All solve_step algebra below stays on ≤4-D arrays with the point axis G
+# on the TPU lane dimension.  5-D intermediates like (NR, W, 6, 3, G) are
+# poison at config-5 scale: XLA's layout assignment can put a tiny axis
+# (W or the 3) on the 128-wide lane dim, padding a 753 MB tensor to 14 GB
+# (observed: HBM OOM, 30.3 GB program at 10k poses / 1M points).
+
+#: packed symmetric component index for (x, y) pairs
+_C6_AT = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2, (2, 0): 2,
+          (1, 1): 3, (1, 2): 4, (2, 1): 4, (2, 2): 5}
+
+
+def _cinv_apply(c6inv: jax.Array, v: jax.Array) -> jax.Array:
+    """(NR, 6, G) packed symmetric × (NR, 3, G) → (NR, 3, G)."""
+    return jnp.stack([
+        sum(c6inv[:, _C6_AT[(x, y)], :] * v[:, y, :] for y in range(3))
+        for x in range(3)], axis=1)
+
+
+def _make_Y(F: jax.Array, c6inv: jax.Array) -> jax.Array:
+    """Y = F · C⁻¹ per point, block-diagonal in the camera-tangent index:
+    Y[:, :, 3a+y, :] = Σ_x F[:, :, 3a+x, :] C⁻¹[x, y].  (NR, W, 18, G)."""
+    comps = []
+    for a in range(6):
+        for y in range(3):
+            comps.append(sum(
+                F[:, :, 3 * a + x, :]
+                * c6inv[:, _C6_AT[(x, y)], :][:, None, :]
+                for x in range(3)))
+    return jnp.stack(comps, axis=2)
+
+
+def fcf_band_planes(F: jax.Array, c6inv: jax.Array,
+                    plan: WindowPlan) -> jax.Array:
+    """F C⁻¹ Fᵀ folded into the (P, W, 6, 6) band, planes layout.
+
+    One batched MXU matmul contracts the lane axis G for ALL window/
+    component pairs at once — (NR, W·18, G) · (NR, W·18, G)ᵀ — then the
+    needed (w, w+d) / Σ_y entries are pulled out with strided slices.
+    ~6× of the matmul is unused, but it keeps every tensor ≤3-D with a
+    ≥112-wide minor axis (no pathological layouts) and the whole product
+    is ~64 GFLOP at config-5 scale — noise on the MXU.
+    """
+    NR, W = F.shape[0], F.shape[1]
+    G = F.shape[-1]
+    Y = _make_Y(F, c6inv)
+    full = jax.lax.dot_general(
+        Y.reshape(NR, W * 18, G), F.reshape(NR, W * 18, G),
+        (((2,), (2,)), ((0,), (0,))))                 # (NR, W18, W18)
+    bands = []
+    for d in range(W):
+        vs = []
+        for w in range(W - d):
+            r0, c0 = w * 18, (w + d) * 18
+            blk = sum(
+                jax.lax.slice(full, (0, r0 + y, c0 + y),
+                              (NR, r0 + 18, c0 + 18), (1, 3, 3))
+                for y in range(3))                    # (NR, 6, 6)
+            vs.append(blk)
+        v = jnp.stack(vs, axis=1)                     # (NR, W-d, 6, 6)
+        if d > 0:
+            v = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
+        bands.append(plan.fold(v))
+    return jnp.stack(bands, axis=1)                   # (P, W, 6, 6)
+
+
+def e_apply_planes(F: jax.Array, y0: jax.Array,
+                   plan: WindowPlan) -> jax.Array:
+    """(E·y)_cam from planes: F (NR, W, 18, G), y0 (NR, 3, G) → (P, 6)."""
+    cols = []
+    for a in range(6):
+        acc = sum(F[:, :, 3 * a + x, :] * y0[:, x, :][:, None, :]
+                  for x in range(3))
+        cols.append(jnp.sum(acc, axis=-1))            # (NR, W)
+    return plan.fold(jnp.stack(cols, axis=2))         # (P, 6)
+
+
+def et_apply_planes(F: jax.Array, pw: jax.Array) -> jax.Array:
+    """Eᵀ·p per point: F (NR, W, 18, G), pw (NR, W, 6) → (NR, 3, G)."""
+    outs = []
+    for x in range(3):
+        acc = sum(F[:, :, 3 * a + x, :] * pw[:, :, a][:, :, None]
+                  for a in range(6))
+        outs.append(jnp.sum(acc, axis=1))             # (NR, G)
+    return jnp.stack(outs, axis=1)
+
+
 # --- prepare -----------------------------------------------------------------
 
 def _kernel_inputs(params: Params, plan: WindowPlan, problem: Problem):
@@ -130,9 +216,11 @@ def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
         c6 = c6 * jnp.stack([s_pt[:, p] * s_pt[:, q]
                              for (p, q) in C6_PAIRS], axis=1)
         scw = plan.pose_windows(s_cam)               # (NR, W, 6)
-        F = (F.reshape(F.shape[:2] + (6, 3) + F.shape[-1:])
-             * scw[:, :, :, None, None] * s_pt[:, None, None, :, :])
-        F = F.reshape(F.shape[:2] + (18,) + F.shape[-1:])
+        # Per-component scaling keeps F 4-D (see layout note above).
+        F = jnp.stack([
+            F[:, :, 3 * a + p, :] * scw[:, :, a][:, :, None]
+            * s_pt[:, p, :][:, None, :]
+            for a in range(6) for p in range(3)], axis=2)
         s_next = jnp.concatenate([s_cam[1:], jnp.zeros_like(s_cam[:1])])
         B0 = B0 * s_cam[:, :, None] * s_cam[:, None, :]
         B1 = B1 * s_cam[:, :, None] * s_next[:, None, :]
@@ -148,20 +236,12 @@ def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
 
 # --- solve step --------------------------------------------------------------
 
-def schur_band_planes(F: jax.Array, Cinv: jax.Array, B0: jax.Array,
+def schur_band_planes(F: jax.Array, c6inv: jax.Array, B0: jax.Array,
                       B1: jax.Array, lm_cam: jax.Array,
                       plan: WindowPlan) -> jax.Array:
-    """S_λ band (P, W, 6, 6) from planes-layout F and C⁻¹."""
+    """S_λ band (P, W, 6, 6) from planes-layout F and packed C⁻¹."""
     W = plan.W
-    F5 = F.reshape(F.shape[0], W, 6, 3, F.shape[-1])
-    Y = jnp.einsum("swaxg,sxyg->swayg", F5, Cinv)
-    bands = []
-    for d in range(W):
-        v = jnp.einsum("swayg,swbyg->swab", Y[:, :W - d], F5[:, d:])
-        if d > 0:
-            v = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
-        bands.append(plan.fold(v))
-    S = -jnp.stack(bands, axis=1)                    # (P, W, 6, 6)
+    S = -fcf_band_planes(F, c6inv, plan)             # (P, W, 6, 6)
     S = S.at[:, 0].add(B0 + jax.vmap(jnp.diag)(lm_cam))
     if W > 1:
         S = S.at[:, 1].add(B1)
@@ -170,7 +250,6 @@ def schur_band_planes(F: jax.Array, Cinv: jax.Array, B0: jax.Array,
 
 def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
     P = plan.n_poses
-    W = plan.W
     F, c6 = aux["F"], aux["c6"]
     g_cam, g_pt = aux["g_cam"], aux["g_pt"]
 
@@ -181,14 +260,13 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
     lm_pt, _ = _lm_scaled_damp(d_pt.reshape(-1), radius, options)
     lm_pt = lm_pt.reshape(d_pt.shape)                # (NR, 3, G)
     c6_l = c6.at[:, C6_DIAG, :].add(lm_pt)
-    Cinv = _sym_full(invert_sym3_planes(c6_l))       # (NR, 3, 3, G)
+    c6inv = invert_sym3_planes(c6_l)                 # (NR, 6, G) packed
 
-    S = schur_band_planes(F, Cinv, aux["B0"], aux["B1"], lm_cam, plan)
-    F5 = F.reshape(F.shape[0], W, 6, 3, F.shape[-1])
+    S = schur_band_planes(F, c6inv, aux["B0"], aux["B1"], lm_cam, plan)
 
     # rhs: b = −g_cam − E C_λ⁻¹ (−g_pt)
-    y0 = jnp.einsum("sxyg,syg->sxg", Cinv, -g_pt)
-    b = -g_cam - plan.fold(jnp.einsum("swaxg,sxg->swa", F5, y0))
+    y0 = _cinv_apply(c6inv, -g_pt)
+    b = -g_cam - e_apply_planes(F, y0, plan)
 
     L0 = jax.vmap(jnp.linalg.cholesky)(S[:, 0])
 
@@ -207,8 +285,7 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
 
     # Back-substitute landmarks (planes layout).
     pw = plan.pose_windows(dc)                       # (NR, W, 6)
-    et = jnp.einsum("swaxg,swa->sxg", F5, pw)
-    dp = jnp.einsum("sxyg,syg->sxg", Cinv, -g_pt - et)
+    dp = _cinv_apply(c6inv, -g_pt - et_apply_planes(F, pw))
 
     gTdx = jnp.sum(g_cam * dc) + jnp.sum(g_pt * dp)
     dDd = jnp.sum(lm_cam * dc * dc) + jnp.sum(lm_pt * dp * dp)
@@ -252,6 +329,8 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
             with jax.default_matmul_precision(options.matmul_precision):
                 return jf(*bound, *args)
 
+        call._jitted = jf       # for utils.roofline (XLA cost analysis)
+        call._bound = bound
         return call
 
     return {

@@ -141,6 +141,8 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
             with jax.default_matmul_precision(options.matmul_precision):
                 return jf(*args)
 
+        call._jitted = jf       # for utils.roofline (XLA cost analysis)
+        call._bound = ()
         return call
 
     return {
