@@ -32,12 +32,14 @@ OUT = pathlib.Path(__file__).parent / "scipy_config4.json"
 
 def main():
     scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
+    max_nfev = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     config = "rs_slerp_robust"
     ba = synthetic.CONFIGS[config](scale=scale, dtype=jnp.float64)
     n_obs = int(jnp.sum(ba.problem.obs.mask))
     print(f"{config}@{scale}: poses={ba.params0.q.shape[0]} "
           f"points={ba.params0.points.shape[0]} obs={n_obs}", flush=True)
-    _, info = scipy_lm.solve_scipy(ba.problem, ba.params0, verbose=2)
+    _, info = scipy_lm.solve_scipy(ba.problem, ba.params0, verbose=2,
+                                   max_nfev=max_nfev)
     rec = {
         "solver": "scipy.optimize.least_squares(method=trf, "
                   "tr_solver=lsmr, analytic sparse J) on CPU f64 — "

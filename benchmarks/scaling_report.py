@@ -1,0 +1,115 @@
+"""Scaling report: iterations/s across configs and meshes.
+
+BASELINE.json:5 asks for "iterations/s at 1 chip, 1 host, and N>=2
+hosts".  This environment exposes ONE physical TPU v5e chip (multi-chip
+and multi-host hardware are not available — SURVEY.md §0), so this
+harness records:
+
+  1 chip (real TPU) — config 4 and config 5 full solves, the judged
+    iters/s numbers;
+  8 virtual devices (CPU mesh) — the sharded banded engine on a reduced
+    config-5 shape: a FUNCTIONAL scaling datapoint (the collective
+    schedule is identical to an 8-chip slice; absolute CPU timings are
+    not TPU performance);
+  N>=2 hosts — hardware-gated: the same code runs via
+    jax.distributed.initialize() + a global Mesh, nothing changes but
+    the device list.
+
+Writes benchmarks/SCALING.json and prints a BENCH-style record per row.
+Run on the TPU machine:  PYTHONPATH=. python benchmarks/scaling_report.py
+Add --cpu-mesh to include the virtual-mesh row (slow; CPU).
+"""
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+OUT = pathlib.Path(__file__).parent / "SCALING.json"
+
+
+def solve_config(config, scale, opts_kw, fns_builder=None, dtype_name="f32"):
+    import jax
+    import jax.numpy as jnp
+    from rsba_tpu.problem import synthetic
+    from rsba_tpu.solver import lm
+    from rsba_tpu.solver.options import SolverOptions
+
+    dtype = jnp.float32 if dtype_name == "f32" else jnp.float64
+    t0 = time.perf_counter()
+    ba = synthetic.CONFIGS[config](scale=scale, dtype=dtype)
+    gen_s = time.perf_counter() - t0
+    opts = SolverOptions(**opts_kw)
+    t0 = time.perf_counter()
+    fns = (fns_builder(ba.problem, opts) if fns_builder
+           else lm.make_solver_fns(ba.problem, opts))
+    build_s = time.perf_counter() - t0
+    # warm-up solve caches the compiles; the second solve is the timed one
+    _, s_warm = lm.solve(ba.problem, ba.params0, opts, fns=fns)
+    t0 = time.perf_counter()
+    params, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
+    wall = time.perf_counter() - t0
+    iter_wall = sum(i.wall_time for i in s.iterations)
+    return {
+        "config": config, "scale": scale,
+        "engine": f"{s.linear_solver}/{s.evaluator}",
+        "n_poses": int(ba.params0.n_poses),
+        "n_points": int(ba.params0.n_points),
+        "n_obs": int(jnp.sum(ba.problem.obs.mask)),
+        "lm_iterations": len(s.iterations),
+        "iters_per_sec": round(len(s.iterations) / iter_wall, 4),
+        "eval_s_per_iter": round(s.evaluation_time / max(
+            len(s.iterations), 1), 4),
+        "linsolve_s_per_iter": round(s.linear_solver_time / max(
+            len(s.iterations), 1), 4),
+        "wall_s": round(wall, 3),
+        "generate_s": round(gen_s, 1),
+        "build_s": round(build_s, 1),
+        "termination": s.termination,
+        "final_rmse_inlier_px": round(s.final_rmse_inlier, 4),
+    }
+
+
+def main():
+    import jax
+    rows = []
+    backend = jax.default_backend()
+    hw = str(jax.devices()[0])
+
+    common = dict(linear_solver="auto", max_cg_iterations=100,
+                  cg_eta=1e-2, max_iterations=40)
+
+    print(f"# 1 chip ({hw}, backend={backend})", flush=True)
+    for config, scale in (("rs_slerp_robust", 1.0), ("rs_mhost_pcg", 1.0)):
+        rec = solve_config(config, scale, common)
+        rec["mesh"] = f"1 chip ({hw})"
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if "--cpu-mesh" in sys.argv:
+        # Virtual 8-device mesh: functional collective-schedule datapoint.
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+        from rsba_tpu import dist
+
+        def sharded_builder(problem, opts):
+            mesh = dist.make_mesh()
+            return dist.make_sharded_window_solver_fns(problem, opts, mesh)
+
+        rec = solve_config("rs_mhost_pcg", 0.02, common,
+                           fns_builder=sharded_builder)
+        rec["mesh"] = "8 virtual CPU devices (functional, not TPU perf)"
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    data = {"rows": rows,
+            "multihost": "hardware-gated: >=2 hosts unavailable in this "
+                         "environment; same code via "
+                         "jax.distributed.initialize() + global Mesh"}
+    OUT.write_text(json.dumps(data, indent=1) + "\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "the portable XLA window engine (default: pallas "
                         "on TPU, xla elsewhere)")
     p.add_argument("--preconditioner",
-                   choices=["jacobi", "schur_jacobi"],
-                   default="schur_jacobi")
+                   choices=["jacobi", "schur_jacobi", "cluster_tridiag"],
+                   default="schur_jacobi",
+                   help="PCG preconditioner; cluster_tridiag (16-pose "
+                        "segment blocks) applies to the banded solvers")
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--max-cg-iterations", type=int, default=100)
     p.add_argument("--cg-eta", type=float, default=1e-2)

@@ -174,14 +174,7 @@ def make_sharded_window_solver_fns(problem: Problem, options: SolverOptions,
         y0 = jnp.einsum("sgxy,sgy->sgx", C_inv, -a.g_pt)
         b = -a.g_cam - _psum(banded.e_apply(a.F, plan_l, y0))
 
-        L0 = jax.vmap(jnp.linalg.cholesky)(S[:, 0])
-
-        def precond(r_flat):
-            r = r_flat.reshape(P_poses, POSE_DOF)
-            z = jax.vmap(
-                lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
-                    L0, r)
-            return z.reshape(-1)
+        precond = banded.make_band_preconditioner(S, options.preconditioner)
 
         def matvec(p_flat):
             return banded.band_matvec(

@@ -202,7 +202,10 @@ def make_ba_problem(
         intr=jnp.asarray(intr, dtype), points=jnp.asarray(pts, dtype))
 
     # --- tracks: contiguous frame windows per point ------------------------
-    start = rng.randint(0, max(n_frames - track_len, 1), size=n_points)
+    # high is exclusive: n_frames - track_len must itself be a valid start
+    # or the final frame gets zero observations and its row-H pose is
+    # unconstrained (caught by covariance analysis in round 3).
+    start = rng.randint(0, max(n_frames - track_len + 1, 1), size=n_points)
     frame_idx = start[:, None] + np.arange(track_len)[None, :]
     frame_idx = np.minimum(frame_idx, n_frames - 1)            # (M, L)
     point_idx = np.repeat(np.arange(n_points), track_len)

@@ -272,6 +272,75 @@ def _band_shift(x: jax.Array, W: int) -> jax.Array:
     return jnp.stack([xp[d:d + P] for d in range(W)], axis=1)
 
 
+def make_band_preconditioner(S_band: jax.Array, kind: str,
+                             segment: int = 16):
+    """Preconditioner for PCG on the banded S (both window engines).
+
+    kind = "schur_jacobi": per-pose 6×6 diagonal blocks (Ceres
+    SCHUR_JACOBI) — batched Cholesky + cho_solve.
+
+    kind = "cluster_tridiag": contiguous ``segment``-pose blocks of the
+    band, each factored dense — the video-trajectory analogue of Ceres's
+    visibility-clustered tier (CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL):
+    on a trajectory the "clusters" of co-visible cameras ARE contiguous
+    pose segments, so the cluster preconditioner is exactly a
+    block-diagonal-by-segment slice of the band.  Captures all
+    intra-segment coupling (window span W ≤ segment), drops only the
+    cross-boundary terms; costs one batched (6·segment)² Cholesky per
+    solve and a batched cho_solve per CG iteration.
+    """
+    P, W = S_band.shape[0], S_band.shape[1]
+    if kind in ("jacobi", "schur_jacobi"):
+        L0 = jax.vmap(jnp.linalg.cholesky)(S_band[:, 0])
+
+        def apply(r_flat):
+            r = r_flat.reshape(P, POSE_DOF)
+            z = jax.vmap(
+                lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
+                    L0, r)
+            return z.reshape(-1)
+
+        return apply
+    if kind != "cluster_tridiag":
+        raise ValueError(kind)
+
+    K = min(segment, P)
+    nseg = -(-P // K)
+    P_pad = nseg * K
+    # Segment-dense matrices gathered from the band: M[s, i, j] 6×6 with
+    # j − i = d ∈ [0, W).  Padding rows get identity diagonal blocks.
+    pad = jnp.zeros((P_pad - P, W, POSE_DOF, POSE_DOF), S_band.dtype)
+    pad = pad.at[:, 0].set(jnp.eye(POSE_DOF, dtype=S_band.dtype))
+    Sp = jnp.concatenate([S_band, pad], axis=0)       # (P_pad, W, 6, 6)
+    M = jnp.zeros((nseg, K, K, POSE_DOF, POSE_DOF), S_band.dtype)
+    rows = jnp.arange(P_pad)
+    seg_id = rows // K
+    i_in = rows % K
+    for d in range(min(W, K)):
+        j_in = i_in + d
+        # Sp rows ≥ P are zero except the d=0 identity, so the only gate
+        # needed is the segment boundary.
+        ok = j_in < K
+        blk = jnp.where(ok[:, None, None], Sp[:, d], 0.0)
+        M = M.at[seg_id, i_in, jnp.minimum(j_in, K - 1)].add(blk)
+        if d > 0:
+            M = M.at[seg_id, jnp.minimum(j_in, K - 1), i_in].add(
+                jnp.swapaxes(blk, -1, -2))
+    D = K * POSE_DOF
+    Md = M.transpose(0, 1, 3, 2, 4).reshape(nseg, D, D)
+    Lseg = jax.vmap(jnp.linalg.cholesky)(Md)
+
+    def apply(r_flat):
+        r = jnp.concatenate(
+            [r_flat, jnp.zeros((P_pad * POSE_DOF - r_flat.shape[0],),
+                               r_flat.dtype)]).reshape(nseg, D)
+        z = jax.vmap(
+            lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(Lseg, r)
+        return z.reshape(-1)[:P * POSE_DOF]
+
+    return apply
+
+
 def band_matvec(S_band: jax.Array, x: jax.Array) -> jax.Array:
     """q = S·x for the symmetric banded S.  x, q: (P, 6).
 
@@ -371,15 +440,7 @@ def make_banded_schur_solver(options: SolverOptions):
         y0 = jnp.einsum("sgxy,sgy->sgx", C_inv, -a.g_pt)
         b = -a.g_cam - e_apply(a.F, plan, y0)
 
-        # Schur-Jacobi preconditioner: the band's diagonal blocks.
-        L0 = jax.vmap(jnp.linalg.cholesky)(S[:, 0])
-
-        def precond(r_flat):
-            r = r_flat.reshape(P, POSE_DOF)
-            z = jax.vmap(
-                lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
-                    L0, r)
-            return z.reshape(-1)
+        precond = make_band_preconditioner(S, options.preconditioner)
 
         def matvec(p_flat):
             return band_matvec(S, p_flat.reshape(P, POSE_DOF)).reshape(-1)

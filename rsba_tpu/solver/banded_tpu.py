@@ -95,46 +95,43 @@ def _cinv_apply(c6inv: jax.Array, v: jax.Array) -> jax.Array:
         for x in range(3)], axis=1)
 
 
-def _make_Y(F: jax.Array, c6inv: jax.Array) -> jax.Array:
-    """Y = F · C⁻¹ per point, block-diagonal in the camera-tangent index:
-    Y[:, :, 3a+y, :] = Σ_x F[:, :, 3a+x, :] C⁻¹[x, y].  (NR, W, 18, G)."""
-    comps = []
-    for a in range(6):
-        for y in range(3):
-            comps.append(sum(
-                F[:, :, 3 * a + x, :]
-                * c6inv[:, _C6_AT[(x, y)], :][:, None, :]
-                for x in range(3)))
-    return jnp.stack(comps, axis=2)
+def _yg_major(comps, NR: int, W: int) -> jax.Array:
+    """18 (NR, W, G) component planes, indexed 3a+y → (NR, W·6, 3G) with
+    rows (w·6 + a) and the (y, g) pair flattened as the contraction axis."""
+    rows = [jnp.concatenate([comps[3 * a + y] for y in range(3)], axis=-1)
+            for a in range(6)]                        # each (NR, W, 3G)
+    return jnp.stack(rows, axis=2).reshape(NR, W * 6, -1)
 
 
 def fcf_band_planes(F: jax.Array, c6inv: jax.Array,
                     plan: WindowPlan) -> jax.Array:
     """F C⁻¹ Fᵀ folded into the (P, W, 6, 6) band, planes layout.
 
-    One batched MXU matmul contracts the lane axis G for ALL window/
-    component pairs at once — (NR, W·18, G) · (NR, W·18, G)ᵀ — then the
-    needed (w, w+d) / Σ_y entries are pulled out with strided slices.
-    ~6× of the matmul is unused, but it keeps every tensor ≤3-D with a
-    ≥112-wide minor axis (no pathological layouts) and the whole product
-    is ~64 GFLOP at config-5 scale — noise on the MXU.
+    One batched MXU matmul computes ALL (w, w+d) window pairs at once:
+    both sides are laid out (NR, W·6, 3·G) with the point dimension y and
+    the lane axis G flattened into one 336-wide contraction axis, so the
+    product (NR, W·6, W·6) directly contains every 6×6 band block as a
+    CONTIGUOUS slice.  Every tensor stays ≤3-D with a wide minor axis —
+    5-D einsum forms let XLA pad a tiny axis onto the 128 lanes (19×
+    memory blowup → HBM OOM at config-5 scale, see layout note above).
     """
     NR, W = F.shape[0], F.shape[1]
-    G = F.shape[-1]
-    Y = _make_Y(F, c6inv)
+    # Y = F · C⁻¹ per point (block-diagonal in the camera index):
+    # Y[3a+y] = Σ_x F[3a+x] C⁻¹[x, y]
+    Ycomps = [sum(F[:, :, 3 * a + x, :]
+                  * c6inv[:, _C6_AT[(x, y)], :][:, None, :]
+                  for x in range(3))
+              for a in range(6) for y in range(3)]    # index 3a+y
+    Fcomps = [F[:, :, c, :] for c in range(18)]
+    lhs = _yg_major(Ycomps, NR, W)                    # (NR, W6, 3G)
+    rhs = _yg_major(Fcomps, NR, W)
     full = jax.lax.dot_general(
-        Y.reshape(NR, W * 18, G), F.reshape(NR, W * 18, G),
-        (((2,), (2,)), ((0,), (0,))))                 # (NR, W18, W18)
+        lhs, rhs, (((2,), (2,)), ((0,), (0,))))       # (NR, W6, W6)
     bands = []
     for d in range(W):
-        vs = []
-        for w in range(W - d):
-            r0, c0 = w * 18, (w + d) * 18
-            blk = sum(
-                jax.lax.slice(full, (0, r0 + y, c0 + y),
-                              (NR, r0 + 18, c0 + 18), (1, 3, 3))
-                for y in range(3))                    # (NR, 6, 6)
-            vs.append(blk)
+        vs = [jax.lax.slice(full, (0, w * 6, (w + d) * 6),
+                            (NR, (w + 1) * 6, (w + d + 1) * 6))
+              for w in range(W - d)]
         v = jnp.stack(vs, axis=1)                     # (NR, W-d, 6, 6)
         if d > 0:
             v = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
@@ -268,13 +265,7 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
     y0 = _cinv_apply(c6inv, -g_pt)
     b = -g_cam - e_apply_planes(F, y0, plan)
 
-    L0 = jax.vmap(jnp.linalg.cholesky)(S[:, 0])
-
-    def precond(r_flat):
-        r = r_flat.reshape(P, POSE_DOF)
-        z = jax.vmap(lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
-            L0, r)
-        return z.reshape(-1)
+    precond = banded.make_band_preconditioner(S, options.preconditioner)
 
     def matvec(p_flat):
         return banded.band_matvec(S, p_flat.reshape(P, POSE_DOF)).reshape(-1)

@@ -6,7 +6,7 @@ import dataclasses
 
 LINEAR_SOLVERS = ("auto", "dense", "dense_schur", "iterative_schur",
                   "banded_schur")
-PRECONDITIONERS = ("jacobi", "schur_jacobi")
+PRECONDITIONERS = ("jacobi", "schur_jacobi", "cluster_tridiag")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,9 +33,12 @@ class SolverOptions:
     # the TPU hot path — when the problem's track structure admits it,
     # falling back to iterative_schur on the flat layout otherwise.
     linear_solver: str = "auto"
-    # Preconditioner for the flat iterative_schur solver.  The banded
-    # window solver always preconditions with Schur-Jacobi (the band's
-    # diagonal blocks); this knob does not apply there.
+    # PCG preconditioner.  "jacobi" / "schur_jacobi" apply to both the
+    # flat iterative_schur and banded solvers ("jacobi" on the banded
+    # path aliases schur_jacobi: the band's d=0 diagonal blocks ARE the
+    # Schur-Jacobi blocks).  "cluster_tridiag" — the visibility-clustered
+    # tier (Ceres CLUSTER_JACOBI/TRIDIAGONAL analogue) — factors
+    # contiguous 16-pose segments of the band dense; banded solvers only.
     preconditioner: str = "schur_jacobi"
     min_lm_diagonal: float = 1e-6
     max_lm_diagonal: float = 1e32

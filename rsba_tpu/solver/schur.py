@@ -131,6 +131,31 @@ def invert_3x3_psd(C: jax.Array) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
 
 
+def invert_6x6_psd(M: jax.Array) -> jax.Array:
+    """Batched closed-form inverse of symmetric PD 6×6 blocks (…,6,6).
+
+    Blocked 2×2-of-3×3 Schur form on top of invert_3x3_psd — pure
+    elementwise VPU math.  XLA's batched ``cholesky``/``cho_solve`` on
+    tiny blocks lowers to a serialized loop on TPU (measured: seconds
+    for a (10k,6,6) batch at config-5 scale); this is microseconds.
+    Used for preconditioner factors, where closed-form round-off is
+    harmless (it only perturbs the CG convergence rate, not the fixed
+    point).
+    """
+    A = M[..., :3, :3]
+    Bt = M[..., :3, 3:]
+    C = M[..., 3:, 3:]
+    Ai = invert_3x3_psd(A)
+    # W = A⁻¹ Bᵀ ; S = C − B A⁻¹ Bᵀ
+    Wb = Ai @ Bt
+    Si = invert_3x3_psd(C - jnp.swapaxes(Bt, -1, -2) @ Wb)
+    WSi = Wb @ Si
+    top_left = Ai + WSi @ jnp.swapaxes(Wb, -1, -2)
+    top = jnp.concatenate([top_left, -WSi], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WSi, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def gn_hessian_apply(ev: Evaluation, problem: Problem,
                      shapes: assembly.TangentShapes, dx_cam: jax.Array,
                      dx_pt: jax.Array):

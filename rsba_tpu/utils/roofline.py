@@ -20,6 +20,15 @@ for other chips.  With ``matmul_precision="highest"`` f32 matmuls run
 multi-pass on the MXU, so MFU against the bf16 peak is a conservative
 (lower-bound) utilization figure; the bandwidth roofline is
 precision-independent.
+
+Caveat: XLA's cost model does not see inside Pallas custom calls, so a
+phase built around the fused kernel reports the kernel's HBM operand
+traffic but NOT its internal FLOPs — its ``mfu`` is a lower bound and
+``bound`` may read "memory" even if the kernel were compute-dense.
+Since the evaluator is in fact bandwidth-bound by design (Jacobians
+never leave VMEM; traffic = observations in, normal-equation blocks
+out), the bandwidth_util number is the meaningful speed-of-light figure
+for it.
 """
 from __future__ import annotations
 

@@ -191,6 +191,63 @@ def test_banded_full_solve_converges(ba, plan):
     assert summary.final_rmse_inlier < 1.2 * ba.pixel_noise
 
 
+def test_cluster_tridiag_preconditioner_matches_dense_segments(ba, plan):
+    """make_band_preconditioner('cluster_tridiag') == explicit dense
+    segment-block solve (numpy oracle)."""
+    params_int = banded.to_internal(ba.params0, plan)
+    ev_w = banded.evaluate(params_int, plan, ba.problem)
+    a = banded.assemble(ev_w, plan)
+    from rsba_tpu.solver.schur import invert_3x3_psd
+    C_inv = invert_3x3_psd(a.C + 0.1 * jnp.eye(3, dtype=jnp.float64))
+    lm_cam = jnp.full((plan.n_poses, 6), 0.1, jnp.float64)
+    S_band = banded.schur_band(a, plan, C_inv, lm_cam)
+
+    K = 4
+    apply = banded.make_band_preconditioner(S_band, "cluster_tridiag",
+                                            segment=K)
+    P = plan.n_poses
+    rng = np.random.RandomState(1)
+    r = rng.randn(P * 6)
+    z = np.asarray(apply(jnp.asarray(r)))
+
+    # Oracle: dense S, zero cross-segment blocks, solve per segment.
+    Sb = np.asarray(S_band)
+    S_dense = np.zeros((P * 6, P * 6))
+    for p in range(P):
+        for d in range(plan.W):
+            if p + d >= P:
+                break
+            S_dense[p * 6:(p + 1) * 6, (p + d) * 6:(p + d + 1) * 6] += \
+                Sb[p, d]
+            if d > 0:
+                S_dense[(p + d) * 6:(p + d + 1) * 6,
+                        p * 6:(p + 1) * 6] += Sb[p, d].T
+    z_ref = np.zeros_like(r)
+    for s0 in range(0, P, K):
+        s1 = min(s0 + K, P)
+        blk = S_dense[s0 * 6:s1 * 6, s0 * 6:s1 * 6]
+        z_ref[s0 * 6:s1 * 6] = np.linalg.solve(blk, r[s0 * 6:s1 * 6])
+    np.testing.assert_allclose(z, z_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_cluster_tridiag_full_solve(ba):
+    """End-to-end banded solve under the cluster preconditioner reaches
+    the same optimum, in no more CG iterations than Schur-Jacobi."""
+    opts_c = SolverOptions(linear_solver="banded_schur",
+                           preconditioner="cluster_tridiag",
+                           max_iterations=30)
+    opts_j = SolverOptions(linear_solver="banded_schur",
+                           preconditioner="schur_jacobi",
+                           max_iterations=30)
+    _, s_c = lm.solve(ba.problem, ba.params0, opts_c)
+    _, s_j = lm.solve(ba.problem, ba.params0, opts_j)
+    assert s_c.termination == "CONVERGENCE"
+    assert abs(s_c.final_rmse_inlier - s_j.final_rmse_inlier) < 1e-3
+    cg_c = sum(i.linear_solver_iterations for i in s_c.iterations)
+    cg_j = sum(i.linear_solver_iterations for i in s_j.iterations)
+    assert cg_c <= cg_j
+
+
 def test_auto_selects_banded(ba):
     fns = lm.make_solver_fns(ba.problem, SolverOptions(linear_solver="auto"))
     assert "to_internal" in fns

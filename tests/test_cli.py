@@ -28,7 +28,7 @@ def last_json(stdout: str) -> dict:
 def test_cli_gs_small(tmp_path):
     jsonl = tmp_path / "iters.jsonl"
     ply = tmp_path / "cloud.ply"
-    r = run_cli("--config=gs_small", "--scale=0.05", "--max-iterations=30",
+    r = run_cli("--config=gs_small", "--scale=0.05", "--max-iterations=15",
                 f"--jsonl={jsonl}", f"--ply={ply}", "--full-report")
     assert r.returncode == 0, r.stderr[-2000:]
     rec = last_json(r.stdout)
@@ -46,7 +46,7 @@ def test_cli_sharded_rs(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "rsba_tpu.cli.run",
          "--config=rs_video_linear", "--scale=0.02", "--shard",
-         "--max-iterations=30"],
+         "--max-iterations=12"],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     rec = last_json(r.stdout)
