@@ -51,7 +51,30 @@ def solve_config(config, scale, opts_kw, fns_builder=None, dtype_name="f32"):
     params, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
     wall = time.perf_counter() - t0
     iter_wall = sum(i.wall_time for i in s.iterations)
+
+    # Memory audit (BASELINE.json:11 / VERDICT r2 #5): XLA's own HBM
+    # accounting for the hot executables.
+    mem = {}
+    try:
+        to_int = fns.get("to_internal")
+        p = to_int(ba.params0) if to_int else ba.params0
+        for phase in ("prepare",):
+            call = fns[phase]
+            jf = getattr(call, "_jitted", None)
+            if jf is None:
+                continue
+            ma = jf.lower(*getattr(call, "_bound", ()), p).compile() \
+                   .memory_analysis()
+            if ma is not None:
+                mem[phase] = {
+                    "args_gib": round(ma.argument_size_in_bytes / 2**30, 3),
+                    "temp_gib": round(ma.temp_size_in_bytes / 2**30, 3),
+                    "output_gib": round(ma.output_size_in_bytes / 2**30, 3),
+                }
+    except Exception as e:
+        mem = {"error": f"{type(e).__name__}: {e}"[:120]}
     return {
+        "memory": mem,
         "config": config, "scale": scale,
         "engine": f"{s.linear_solver}/{s.evaluator}",
         "n_poses": int(ba.params0.n_poses),

@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in "
                         "--checkpoint-dir")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture an xprof/TensorBoard trace of the solve "
+                        "into this directory (jax.profiler.trace; phases "
+                        "carry named_scope annotations)")
     p.add_argument("--jsonl", default=None,
                    help="write per-iteration JSONL records here")
     p.add_argument("--ply", default=None,
@@ -76,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a jax platform (the harness environment "
                         "pre-registers the TPU backend, so env vars alone "
                         "cannot select CPU)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="sanitizer mode: jax_debug_nans raises at the "
+                        "first NaN-producing op (SURVEY.md §5.2)")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--full-report", action="store_true")
     return p
@@ -88,6 +95,8 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import jax.numpy as jnp
 
@@ -171,8 +180,12 @@ def main(argv=None) -> int:
             problem, params0 = dist.shard_ba(problem, params0, mesh)
             fns = dist.make_sharded_solver_fns(problem, options, mesh)
 
-    params, summary = lm.solve(problem, params0, options,
-                               callback=callback, fns=fns)
+    import contextlib
+    trace_cm = (jax.profiler.trace(args.profile_dir) if args.profile_dir
+                else contextlib.nullcontext())
+    with trace_cm:
+        params, summary = lm.solve(problem, params0, options,
+                                   callback=callback, fns=fns)
     if ckpt is not None:
         ckpt.wait()
     wall = time.perf_counter() - t0

@@ -273,7 +273,8 @@ def make_sharded_window_solver_fns(problem: Problem, options: SolverOptions,
         pts_w = params.points.reshape(plan.NR, plan.G, 3)
         return params.replace(points=plan.scatter_points(pts_w))
 
-    return {
+    from ..solver.lm import attach_try_step
+    return attach_try_step({
         "prepare": lambda p: _prepare(plan_sharded, prob_slim, p),
         "solve_step": lambda aux, radius: _solve(
             plan_sharded, aux,
@@ -286,4 +287,4 @@ def make_sharded_window_solver_fns(problem: Problem, options: SolverOptions,
         "to_internal": to_internal,
         "to_external": to_external,
         "engine": ("banded_schur", "xla-window-sharded"),
-    }
+    }, options)

@@ -289,7 +289,8 @@ def make_sharded_solver_fns(problem: Problem, options: SolverOptions,
     _stats = smap(error_stats_blk, (prob_spec, par_spec),
                   (P(), P(), P(), P()))
 
-    return {
+    from ..solver.lm import attach_try_step
+    return attach_try_step({
         "prepare": lambda params: _prepare(problem, params),
         "solve_step": lambda aux, radius: _solve(
             problem, aux, jnp.asarray(radius, problem.obs.uv.dtype)),
@@ -299,4 +300,4 @@ def make_sharded_solver_fns(problem: Problem, options: SolverOptions,
                                                         p_new),
         "error_stats": lambda params: _stats(problem, params),
         "engine": (options.linear_solver, "xla-flat-sharded"),
-    }
+    }, options)

@@ -150,7 +150,7 @@ def make_problem(obs: Observations, n_poses: int, n_points: int, n_intr: int,
     """Assemble a Problem with everything free by default."""
     if intr_basis is None:
         intr_basis = intr_basis_fixed()
-    return Problem(
+    problem = Problem(
         obs=obs,
         pose_free=jnp.ones((n_poses,), dtype=dtype),
         point_free=jnp.ones((n_points,), dtype=dtype),
@@ -159,3 +159,49 @@ def make_problem(obs: Observations, n_poses: int, n_points: int, n_intr: int,
         model=model,
         loss=loss,
     )
+    validate_problem(problem)
+    return problem
+
+
+def validate_problem(problem: Problem) -> None:
+    """Structural sanity checks — the equivalent of Ceres's debug-mode
+    problem validation / sanitizer builds (SURVEY.md §5.2): shape and
+    dtype consistency, index ranges, and finite observation data.
+
+    Raises ValueError on the first violation.  Host-side (uses concrete
+    values); call at construction/load time, not inside jit.
+    """
+    obs = problem.obs
+    N = obs.n_obs
+    for name in ("t", "pose_a", "pose_b", "intr_idx", "point", "mask"):
+        a = getattr(obs, name)
+        if a.shape[0] != N:
+            raise ValueError(f"obs.{name} has {a.shape[0]} rows, uv has {N}")
+    if obs.uv.shape != (N, 2):
+        raise ValueError(f"obs.uv must be (N, 2), got {obs.uv.shape}")
+    P = problem.pose_free.shape[0]
+    M = problem.point_free.shape[0]
+    K = problem.intr_free.shape[0]
+    valid = np.asarray(obs.mask) > 0
+    for name, hi in (("pose_a", P), ("pose_b", P), ("intr_idx", K),
+                     ("point", M)):
+        idx = np.asarray(getattr(obs, name))[valid]
+        if idx.size and (idx.min() < 0 or idx.max() >= hi):
+            raise ValueError(
+                f"obs.{name} out of range [0, {hi}): "
+                f"[{idx.min()}, {idx.max()}]")
+    if problem.intr_basis.shape[0] != 9:
+        raise ValueError(
+            f"intr_basis must be (9, ni), got {problem.intr_basis.shape}")
+    uv = np.asarray(obs.uv)[valid]
+    t = np.asarray(obs.t)[valid]
+    if uv.size and not np.isfinite(uv).all():
+        raise ValueError("non-finite pixel coordinates in valid obs")
+    if t.size and (t.min() < 0.0 or t.max() > 1.0):
+        raise ValueError(f"shutter time t outside [0, 1]: "
+                         f"[{t.min()}, {t.max()}]")
+    if problem.model.rolling_shutter:
+        pa = np.asarray(obs.pose_a)[valid]
+        pb = np.asarray(obs.pose_b)[valid]
+        if pa.size and (pb < pa).any():
+            raise ValueError("rolling shutter requires pose_b >= pose_a")

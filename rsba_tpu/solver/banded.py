@@ -61,14 +61,12 @@ class WEvaluation:
 
 
 def _slot_pose_data(params: Params, plan: WindowPlan):
-    """Per-slot (qa, ca, qb, cb) via window broadcast + compare-select."""
-    qw = plan.pose_windows(params.q)      # (NR, W, 4)
-    cw = plan.pose_windows(params.c)      # (NR, W, 3)
-    qa = plan.select_a(qw)
-    ca = plan.select_a(cw)
-    qb = plan.select_b(qw)
-    cb = plan.select_b(cw)
-    return qa, ca, qb, cb
+    """Per-slot (qa, ca, qb, cb) via one one-hot window select per side."""
+    win = jnp.concatenate([plan.pose_windows(params.q),
+                           plan.pose_windows(params.c)], axis=-1)
+    sa = plan.select_a(win)               # (NR, G, L, 7)
+    sb = plan.select_b(win)
+    return sa[..., :4], sa[..., 4:], sb[..., :4], sb[..., 4:]
 
 
 def _slot_intr(params: Params, plan: WindowPlan):
@@ -398,8 +396,10 @@ def make_banded_schur_solver(options: SolverOptions):
     """
 
     def prepare(plan: WindowPlan, problem: Problem, params: Params):
-        ev = evaluate(params, plan, problem)
-        a = assemble(ev, plan)
+        with jax.named_scope("evaluate"):
+            ev = evaluate(params, plan, problem)
+        with jax.named_scope("assemble"):
+            a = assemble(ev, plan)
 
         d_cam = jnp.diagonal(a.B_band[:, 0], axis1=-2, axis2=-1)   # (P,6)
         d_pt = jnp.diagonal(a.C, axis1=-2, axis2=-1)               # (NR,G,3)
@@ -434,7 +434,8 @@ def make_banded_schur_solver(options: SolverOptions):
         C_l = a.C + jax.vmap(jax.vmap(jnp.diag))(lm_pt)
         C_inv = invert_3x3_psd(C_l)
 
-        S = schur_band(a, plan, C_inv, lm_cam)
+        with jax.named_scope("schur_band"):
+            S = schur_band(a, plan, C_inv, lm_cam)
 
         # Reduced rhs: b = −g_cam − E C_λ⁻¹ (−g_pt).
         y0 = jnp.einsum("sgxy,sgy->sgx", C_inv, -a.g_pt)
@@ -445,13 +446,16 @@ def make_banded_schur_solver(options: SolverOptions):
         def matvec(p_flat):
             return band_matvec(S, p_flat.reshape(P, POSE_DOF)).reshape(-1)
 
-        dc_flat, r_cg, iters = pcg(matvec, precond, b.reshape(-1),
-                                   options.max_cg_iterations, options.cg_eta)
+        with jax.named_scope("pcg"):
+            dc_flat, r_cg, iters = pcg(matvec, precond, b.reshape(-1),
+                                       options.max_cg_iterations,
+                                       options.cg_eta)
         dc = dc_flat.reshape(P, POSE_DOF)
 
         # Back-substitute landmarks.
-        w = -a.g_pt - et_apply(a.F, plan, dc)
-        dp = jnp.einsum("sgxy,sgy->sgx", C_inv, w)
+        with jax.named_scope("back_substitute"):
+            w = -a.g_pt - et_apply(a.F, plan, dc)
+            dp = jnp.einsum("sgxy,sgy->sgx", C_inv, w)
 
         # Predicted decrease: cancellation-free identity + CG correction
         # (see pcg.py).

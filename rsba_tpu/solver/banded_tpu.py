@@ -166,17 +166,17 @@ def _kernel_inputs(params: Params, plan: WindowPlan, problem: Problem):
     # Per-slot pose planes (NR, 16, L, G): the W-window compare-select runs
     # here in XLA (Mosaic cannot splat a (RT,1,1) window value over both
     # sublanes and lanes inside the kernel); order = fused._POSE_PLANES.
-    qw = plan.pose_windows(params.q)
-    cw = plan.pose_windows(params.c)
-    pf_w = plan.pose_windows(problem.pose_free)
-    qa = plan.select_a(qw)                           # (NR, G, L, 4)
-    ca = plan.select_a(cw)
-    qb = plan.select_b(qw)
-    cb = plan.select_b(cw)
-    pf_a = plan.select_a(pf_w)[..., None]            # (NR, G, L, 1)
-    pf_b = plan.select_b(pf_w)[..., None]
-    pose = jnp.concatenate([qa, ca, qb, cb, pf_a, pf_b],
-                           axis=-1).transpose(0, 3, 2, 1)   # (NR, 16, L, G)
+    # One (NR, W, 8) window per shutter side → a single one-hot select
+    # each (vs six separate slot-sized passes).
+    win = jnp.concatenate(
+        [plan.pose_windows(params.q), plan.pose_windows(params.c),
+         plan.pose_windows(problem.pose_free)[..., None]], axis=-1)
+    sa = plan.select_a(win)                          # (NR, G, L, 8)
+    sb = plan.select_b(win)
+    # _POSE_PLANES order: qa(4) ca(3) qb(4) cb(3) pf_a pf_b.
+    pose = jnp.concatenate(
+        [sa[..., :7], sb[..., :7], sa[..., 7:], sb[..., 7:]],
+        axis=-1).transpose(0, 3, 2, 1)               # (NR, 16, L, G)
     ptf = plan.gather_point_scalar(problem.point_free)
     uv = plan.uv.transpose(0, 3, 2, 1)               # (NR, 2, L, G)
     tt = plan.t.transpose(0, 2, 1)                   # (NR, L, G)
@@ -190,10 +190,11 @@ def _kernel_inputs(params: Params, plan: WindowPlan, problem: Problem):
 
 def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
             params: Params, interpret: bool, exact: bool | None = None):
-    out = fused.fused_evaluate_assemble(
-        *_kernel_inputs(params, plan, problem),
-        model=problem.model, loss=problem.loss,
-        row_tile=options.row_tile, interpret=interpret, exact=exact)
+    with jax.named_scope("fused_evaluate_assemble"):
+        out = fused.fused_evaluate_assemble(
+            *_kernel_inputs(params, plan, problem),
+            model=problem.model, loss=problem.loss,
+            row_tile=options.row_tile, interpret=interpret, exact=exact)
     P = plan.n_poses
     g_cam = plan.fold(out["gw"])                     # (P, 6)
     B0 = plan.fold(out["b0"]).reshape(P, 6, 6)
@@ -259,7 +260,8 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
     c6_l = c6.at[:, C6_DIAG, :].add(lm_pt)
     c6inv = invert_sym3_planes(c6_l)                 # (NR, 6, G) packed
 
-    S = schur_band_planes(F, c6inv, aux["B0"], aux["B1"], lm_cam, plan)
+    with jax.named_scope("schur_band"):
+        S = schur_band_planes(F, c6inv, aux["B0"], aux["B1"], lm_cam, plan)
 
     # rhs: b = −g_cam − E C_λ⁻¹ (−g_pt)
     y0 = _cinv_apply(c6inv, -g_pt)
@@ -270,13 +272,15 @@ def solve_step(plan: WindowPlan, options: SolverOptions, aux, radius):
     def matvec(p_flat):
         return banded.band_matvec(S, p_flat.reshape(P, POSE_DOF)).reshape(-1)
 
-    dc_flat, r_cg, iters = pcg(matvec, precond, b.reshape(-1),
-                               options.max_cg_iterations, options.cg_eta)
+    with jax.named_scope("pcg"):
+        dc_flat, r_cg, iters = pcg(matvec, precond, b.reshape(-1),
+                                   options.max_cg_iterations, options.cg_eta)
     dc = dc_flat.reshape(P, POSE_DOF)
 
     # Back-substitute landmarks (planes layout).
-    pw = plan.pose_windows(dc)                       # (NR, W, 6)
-    dp = _cinv_apply(c6inv, -g_pt - et_apply_planes(F, pw))
+    with jax.named_scope("back_substitute"):
+        pw = plan.pose_windows(dc)                   # (NR, W, 6)
+        dp = _cinv_apply(c6inv, -g_pt - et_apply_planes(F, pw))
 
     gTdx = jnp.sum(g_cam * dc) + jnp.sum(g_pt * dp)
     dDd = jnp.sum(lm_cam * dc * dc) + jnp.sum(lm_pt * dp * dp)

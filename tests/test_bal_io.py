@@ -104,3 +104,38 @@ def test_ply_export(tmp_path):
     n = ba.params0.n_points + ba.params0.n_poses
     assert f"element vertex {n}" in text[2]
     assert len(text) > n
+
+
+def test_validate_problem_rejects_bad_indices():
+    """validate_problem (SURVEY §5.2 sanitizer parity) catches range and
+    shape violations at construction time."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from rsba_tpu.geometry import CameraModel
+    from rsba_tpu.problem import Observations, make_problem, validate_problem
+
+    def obs(point_idx):
+        n = len(point_idx)
+        return Observations(
+            uv=jnp.zeros((n, 2)), t=jnp.zeros(n),
+            pose_a=jnp.zeros(n, jnp.int32), pose_b=jnp.zeros(n, jnp.int32),
+            intr_idx=jnp.zeros(n, jnp.int32),
+            point=jnp.asarray(point_idx, jnp.int32), mask=jnp.ones(n))
+
+    model = CameraModel()
+    p = make_problem(obs([0, 1]), 2, 2, 1, model)   # valid
+    validate_problem(p)
+
+    with pytest.raises(ValueError, match="point out of range"):
+        make_problem(obs([0, 5]), 2, 2, 1, model)
+
+    bad_t = p.replace(obs=p.obs.replace(t=jnp.asarray([0.0, 1.5])))
+    with pytest.raises(ValueError, match="shutter time"):
+        validate_problem(bad_t)
+
+    bad_uv = p.replace(obs=p.obs.replace(uv=jnp.asarray([[0.0, 0.0],
+                                                         [np.nan, 1.0]])))
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_problem(bad_uv)

@@ -46,7 +46,7 @@ def test_cli_sharded_rs(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "rsba_tpu.cli.run",
          "--config=rs_video_linear", "--scale=0.02", "--shard",
-         "--max-iterations=12"],
+         "--max-iterations=25"],
         capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     rec = last_json(r.stdout)
