@@ -262,7 +262,9 @@ def solve(problem: Problem, params: Params,
             r_arr = jnp.asarray(radius, dtype=aux["cost"].dtype)
             if "try_step" in fns:
                 # Fused single-dispatch attempt (solve + retract + cost
-                # decrease + finiteness); one scalar read-back.
+                # decrease + finiteness); one scalar read-back.  NOTE:
+                # linear_solver_time then covers the whole attempt, not
+                # just the Schur solve.
                 (cand, predicted, snorm, xnorm, dec_arr, li,
                  finite) = fns["try_step"](params, aux, r_arr)
                 pred_v, step_norm, x_norm, dec_v, li_v, fin_v = (
