@@ -29,6 +29,7 @@ print(f"build+trial-compile ({fns['engine']}): "
       f"{time.perf_counter()-t0:.1f}s", flush=True)
 
 t0 = time.perf_counter()
+params_int = fns["to_internal"](ba.params0)
 params, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
 print(f"6-iter solve: {time.perf_counter()-t0:.1f}s  "
       f"cost {s.initial_cost:.3e} -> {s.final_cost:.3e}  "
@@ -36,12 +37,13 @@ print(f"6-iter solve: {time.perf_counter()-t0:.1f}s  "
       f"eval_t {s.evaluation_time:.2f}s lin_t {s.linear_solver_time:.2f}s",
       flush=True)
 
-dev = jax.devices()[0]
+# memory_stats is unavailable through the axon tunnel; XLA's own
+# accounting of the hot executable is the audit (see scaling_report.py).
 try:
-    ms = dev.memory_stats()
-    print("device memory: peak_bytes_in_use="
-          f"{ms.get('peak_bytes_in_use', 0)/2**30:.2f} GiB, "
-          f"bytes_in_use={ms.get('bytes_in_use', 0)/2**30:.2f} GiB, "
-          f"limit={ms.get('bytes_limit', 0)/2**30:.2f} GiB", flush=True)
+    jf = fns["prepare"]._jitted
+    ma = jf.lower(*fns["prepare"]._bound, params_int).compile().memory_analysis()
+    print(f"prepare memory: args {ma.argument_size_in_bytes/2**30:.2f} GiB, "
+          f"temp {ma.temp_size_in_bytes/2**30:.2f} GiB, "
+          f"out {ma.output_size_in_bytes/2**30:.2f} GiB", flush=True)
 except Exception as e:
-    print("memory_stats unavailable:", e)
+    print("memory_analysis unavailable:", e)

@@ -97,21 +97,13 @@ def solve_config(config, scale, opts_kw, fns_builder=None, dtype_name="f32"):
 def main():
     import jax
     rows = []
-    backend = jax.default_backend()
-    hw = str(jax.devices()[0])
-
     common = dict(linear_solver="auto", max_cg_iterations=100,
                   cg_eta=1e-2, max_iterations=40)
 
-    print(f"# 1 chip ({hw}, backend={backend})", flush=True)
-    for config, scale in (("rs_slerp_robust", 1.0), ("rs_mhost_pcg", 1.0)):
-        rec = solve_config(config, scale, common)
-        rec["mesh"] = f"1 chip ({hw})"
-        rows.append(rec)
-        print(json.dumps(rec), flush=True)
-
     if "--cpu-mesh" in sys.argv:
-        # Virtual 8-device mesh: functional collective-schedule datapoint.
+        # Virtual 8-device mesh row ONLY (a jax platform cannot be
+        # switched after backend init, so this is its own invocation;
+        # the result merges into an existing SCALING.json).
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", 8)
         from rsba_tpu import dist
@@ -125,6 +117,24 @@ def main():
         rec["mesh"] = "8 virtual CPU devices (functional, not TPU perf)"
         rows.append(rec)
         print(json.dumps(rec), flush=True)
+        if OUT.exists():
+            prior = json.loads(OUT.read_text())
+            rows = [r for r in prior.get("rows", [])
+                    if "virtual" not in r.get("mesh", "")] + rows
+    else:
+        backend = jax.default_backend()
+        hw = str(jax.devices()[0])
+        print(f"# 1 chip ({hw}, backend={backend})", flush=True)
+        for config, scale in (("rs_slerp_robust", 1.0),
+                              ("rs_mhost_pcg", 1.0)):
+            rec = solve_config(config, scale, common)
+            rec["mesh"] = f"1 chip ({hw})"
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+        if OUT.exists():
+            prior = json.loads(OUT.read_text())
+            rows = rows + [r for r in prior.get("rows", [])
+                           if "virtual" in r.get("mesh", "")]
 
     data = {"rows": rows,
             "multihost": "hardware-gated: >=2 hosts unavailable in this "
