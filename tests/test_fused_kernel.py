@@ -28,7 +28,10 @@ OPTS = SolverOptions(jacobi_scaling=False, max_cg_iterations=120,
                      function_tolerance=1e-5)
 
 
-@pytest.fixture(scope="module", params=["rs_slerp", "rs_nlerp", "gs"])
+@pytest.fixture(scope="module",
+                params=["rs_slerp",
+                        pytest.param("rs_nlerp", marks=pytest.mark.slow),
+                        "gs"])
 def ba(request):
     # Feature coverage is split across fixtures (slerp+huber / nlerp /
     # distortion) so no interpret-mode kernel compiles the full feature
