@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import CameraModel, Loss
-from ..problem.types import (Observations, Params, Problem,
+from ..problem.types import (Observations, Params,
                              intr_basis_fixed, make_problem)
 from . import lm
 from .options import SolverOptions
