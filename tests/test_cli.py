@@ -64,3 +64,16 @@ def test_cli_rejects_unknown_config():
         capture_output=True, text=True, timeout=120, env=env, cwd=REPO)
     assert r.returncode == 2
     assert "invalid choice" in r.stderr
+
+
+def test_cli_bal_file(tmp_path, capsys):
+    """--bal path: solve a BAL-convention problem file through the CLI."""
+    from tests.test_bal_io import _make_bal_file
+
+    path, _ = _make_bal_file(tmp_path)
+    rc, out = run_main(capsys, f"--bal={path}", "--max-iterations=60",
+                       "--function-tolerance=1e-5",
+                       "--linear-solver=dense_schur")
+    assert rc == 0, out[-2000:]
+    rec = last_json(out)
+    assert rec["termination"] == "CONVERGENCE"
