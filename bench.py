@@ -100,6 +100,38 @@ def main():
                          max_iterations=60,
                          verbose=os.environ.get("RSBA_BENCH_VERBOSE") == "1")
 
+    if not cpu_mode:
+        # The axon TPU tunnel can wedge device round-trips (observed
+        # twice on 2026-08-20: device enumeration and uploads succeed,
+        # every device->host read hangs forever).  Probe with a watchdog
+        # so a wedged tunnel produces a diagnostic JSON line quickly
+        # instead of hanging the driver until its timeout.
+        import threading
+        probe_ok = []
+
+        def _probe():
+            import jax.numpy as jnp
+            jnp.ones((2,)).sum().block_until_ready()
+            probe_ok.append(True)
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(120)
+        if not probe_ok:
+            print(json.dumps({
+                "metric": f"{key} wall-to-convergence (TPU tunnel wedged "
+                          "- device round-trips hang; last healthy run "
+                          "stored in benchmarks/BENCH_r3_local.json)",
+                "value": -1.0, "unit": "s", "vs_baseline": 0.0,
+                "details": {
+                    "error": "axon device->host stream wedged; a tiny "
+                             "on-device reduction did not return within "
+                             "120 s",
+                    "last_healthy_run":
+                        "benchmarks/BENCH_r3_local.json (0.39 s, 52.5x)",
+                }}))
+            os._exit(3)
+
     ba, fns, s, _ = run(config, scale, "f64" if cpu_mode else "f32", opts)
     wall = wall_to_convergence(s)
     iters_per_sec = (len(s.iterations) / sum(i.wall_time
