@@ -28,3 +28,33 @@ def test_checkpoint_restart_resumes_solve(tmp_path):
     p2, s2 = lm.solve(ba.problem, params_r, opts2)
     assert s2.termination == "CONVERGENCE", s2.message
     assert s2.final_rmse <= s1.final_rmse + 1e-9
+
+
+def test_checkpoint_restart_with_banded_solver(tmp_path):
+    """Checkpoint/resume through the window-native banded solver: the
+    callback must receive EXTERNAL-layout params (lm.solve converts from
+    the padded internal point order), and a restored checkpoint must
+    resume cleanly into a fresh banded solve."""
+    ba = synthetic.make_ba_problem(
+        n_poses=9, n_points=140, track_len=4, rolling_shutter=True,
+        rotation_interp="nlerp", pixel_noise=0.5, seed=17,
+        dtype=jnp.float64, pad_to=32)
+    opts = SolverOptions(linear_solver="banded_schur", max_iterations=3)
+
+    ckpt = SolverCheckpointer(str(tmp_path / "ckpt_banded"))
+    p1, s1 = lm.solve(ba.problem, ba.params0, opts, callback=ckpt.callback)
+    ckpt.wait()
+    restored = ckpt.restore()
+    assert restored is not None
+    it0, params_r, radius = restored
+    # External layout: same shapes as the user-facing params, and the
+    # checkpointed points equal the solve's returned (external) points.
+    assert params_r.points.shape == ba.params0.points.shape
+    np.testing.assert_array_equal(np.asarray(params_r.points),
+                                  np.asarray(p1.points))
+
+    opts2 = SolverOptions(linear_solver="banded_schur", max_iterations=50,
+                          initial_radius=radius)
+    p2, s2 = lm.solve(ba.problem, params_r, opts2)
+    assert s2.termination == "CONVERGENCE", s2.message
+    assert s2.final_rmse_inlier <= s1.final_rmse_inlier + 1e-9
