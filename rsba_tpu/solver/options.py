@@ -81,3 +81,7 @@ class SolverOptions:
             raise ValueError(
                 f"evaluator must be 'auto', 'pallas' or 'xla', "
                 f"got {self.evaluator!r}")
+        if self.row_tile < 0 or (self.row_tile & (self.row_tile - 1)):
+            raise ValueError(
+                f"row_tile must be 0 (auto) or a power of two, "
+                f"got {self.row_tile}")

@@ -275,3 +275,28 @@ def test_origin_camera_no_nan(ba, plan):
 
     dec = banded.cost_decrease(plan, ba.problem, params_int, params_int)
     np.testing.assert_allclose(float(dec), 0.0, atol=1e-12)
+
+
+def test_auto_falls_back_to_flat_without_window_structure():
+    """Config-2-style problems (per-camera optimizable intrinsics) do not
+    admit the window layout; linear_solver='auto' must fall back to the
+    flat iterative-Schur solver and still solve."""
+    ba2 = synthetic.config2_gs_bal(scale=0.02, seed=1, dtype=jnp.float64)
+    fns = lm.make_solver_fns(ba2.problem,
+                             SolverOptions(linear_solver="auto"))
+    assert fns["engine"] == ("iterative_schur", "xla-flat")
+    assert "to_internal" not in fns
+    _, s = lm.solve(ba2.problem, ba2.params0,
+                    SolverOptions(linear_solver="auto", max_iterations=30),
+                    fns=fns)
+    assert s.termination == "CONVERGENCE", s.message
+    assert s.linear_solver == "iterative_schur"
+
+
+def test_options_reject_bad_row_tile():
+    import pytest
+    with pytest.raises(ValueError, match="row_tile"):
+        SolverOptions(row_tile=3)
+    with pytest.raises(ValueError, match="row_tile"):
+        SolverOptions(row_tile=-1)
+    SolverOptions(row_tile=4)   # valid
