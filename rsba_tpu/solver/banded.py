@@ -507,7 +507,17 @@ def make_window_solver_fns(problem: Problem, plan: WindowPlan,
         call._bound = bound
         return call
 
+    raw = {
+        "bound": (plan, problem),
+        "prepare": lambda b, p: prepare(b[0], b[1], p),
+        "solve_step": lambda b, aux, radius: solve_step(b[0], aux, radius),
+        "apply_step": lambda b, params, dx: apply_step(
+            b[0], b[1], params, dx),
+        "cost_decrease": lambda b, po, pn: cost_decrease(b[0], b[1], po, pn),
+    }
+
     return {
+        "raw": raw,
         "prepare": _wrap(prepare, plan, problem),
         "solve_step": _wrap(solve_step, plan),
         "apply_step": _wrap(apply_step, plan, problem),

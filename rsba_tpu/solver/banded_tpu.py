@@ -328,7 +328,20 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
         call._bound = bound
         return call
 
+    raw = {
+        "bound": (plan, problem),
+        "prepare": lambda b, p: prepare(b[0], b[1], options, p, interpret,
+                                        exact),
+        "solve_step": lambda b, aux, radius: solve_step(
+            b[0], options, aux, radius),
+        "apply_step": lambda b, params, dx: apply_step(
+            b[0], b[1], params, dx),
+        "cost_decrease": lambda b, po, pn: banded.cost_decrease(
+            b[0], b[1], _as_v1(po, b[0]), _as_v1(pn, b[0])),
+    }
+
     return {
+        "raw": raw,
         "prepare": _wrap(
             lambda pl_, pr_, p: prepare(pl_, pr_, options, p, interpret,
                                         exact),

@@ -223,6 +223,29 @@ def solve(problem: Problem, params: Params,
     summary.initial_rmse_inlier = _rmse(sq0_in, n_in)
     summary.preprocessing_time = time.perf_counter() - t_start
 
+    # On-device loop: one lax.while_loop dispatch for the whole solve
+    # (lm_device.py).  Per-phase wall attribution is unavailable there —
+    # evaluation_time/linear_solver_time stay 0 and the evaluator tag
+    # records "+device_loop".
+    if options.device_loop == "on" and "raw" not in fns:
+        raise ValueError(
+            "device_loop='on' requires an engine exposing raw phase "
+            "functions (banded window engines); this engine "
+            f"({engine[0]}/{engine[1]}) does not")
+    if options.device_loop != "off" and "raw" in fns:
+        from . import lm_device
+        summary.evaluator = engine[1] + "+device_loop"
+        params = lm_device.run_blocks(fns, params, options, summary,
+                                      callback, to_external)
+        summary.final_cost = float(fns["cost"](params))
+        sqf, n_valid, sqf_in, n_in = fns["error_stats"](params)
+        summary.final_rmse = _rmse(sqf, n_valid)
+        summary.final_rmse_inlier = _rmse(sqf_in, n_in)
+        if to_external is not None:
+            params = to_external(params)
+        summary.total_time = time.perf_counter() - t_start
+        return params, summary
+
     radius = options.initial_radius
     decrease_factor = 2.0
     invalid_steps = 0

@@ -65,6 +65,20 @@ class SolverOptions:
     # "highest" forces full f32 accumulation on the MXU.
     matmul_precision: str = "highest"
 
+    # On-device LM loop (solver/lm_device.py): the whole trust-region
+    # loop runs in one lax.while_loop dispatch — only scalars and the
+    # per-attempt record table return to the host.  "auto" = use it when
+    # the selected engine exposes raw phase functions (both banded window
+    # engines do); "on" requires it (raises otherwise); "off" = the
+    # host-driven loop.  Measured: the host loop pays ~150 ms/iter of
+    # dispatch latency over the TPU tunnel vs ~69 ms of compute.
+    device_loop: str = "auto"
+    # With a per-iteration callback installed (checkpointing), the device
+    # loop returns to the host every ~device_block_iters outer iterations
+    # so the callback still fires.  0 = never (single dispatch; callback
+    # then fires once at the end).
+    device_block_iters: int = 8
+
     # Reporting
     verbose: bool = False
 
@@ -85,3 +99,7 @@ class SolverOptions:
             raise ValueError(
                 f"row_tile must be 0 (auto) or a power of two, "
                 f"got {self.row_tile}")
+        if self.device_loop not in ("auto", "on", "off"):
+            raise ValueError(
+                f"device_loop must be 'auto', 'on' or 'off', "
+                f"got {self.device_loop!r}")
