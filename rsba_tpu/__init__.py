@@ -15,4 +15,14 @@ __version__ = "0.1.0"
 from . import geometry
 from .geometry import CameraModel, Loss, intrinsics_vector
 
-__all__ = ["geometry", "CameraModel", "Loss", "intrinsics_vector"]
+__all__ = ["geometry", "CameraModel", "Loss", "intrinsics_vector",
+           "SfmSession"]
+
+
+def __getattr__(name):
+    # Lazy: pipeline pulls in the solver stack; keep bare `import rsba_tpu`
+    # light for geometry-only users.
+    if name == "SfmSession":
+        from .pipeline import SfmSession
+        return SfmSession
+    raise AttributeError(name)

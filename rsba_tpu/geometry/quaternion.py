@@ -83,6 +83,44 @@ def to_matrix(q: jax.Array) -> jax.Array:
     return m.reshape(q.shape[:-1] + (3, 3))
 
 
+def from_matrix(R: jax.Array) -> jax.Array:
+    """Rotation matrix → unit quaternion (wxyz), batched and branch-free.
+
+    Shepperd's method: build all four candidate quaternions (scaled by
+    4w², 4x², 4y², 4z² respectively) and select the numerically largest
+    pivot with a where-chain — safe for any proper rotation, including
+    180° ones where the trace-based formula alone loses precision.
+    Inverse of :func:`to_matrix` (property-tested).
+    """
+    m = R
+    t0 = 1.0 + m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]    # 4w²
+    t1 = 1.0 + m[..., 0, 0] - m[..., 1, 1] - m[..., 2, 2]    # 4x²
+    t2 = 1.0 - m[..., 0, 0] + m[..., 1, 1] - m[..., 2, 2]    # 4y²
+    t3 = 1.0 - m[..., 0, 0] - m[..., 1, 1] + m[..., 2, 2]    # 4z²
+    q0 = jnp.stack([t0,
+                    m[..., 2, 1] - m[..., 1, 2],
+                    m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 1, 0] - m[..., 0, 1]], axis=-1)
+    q1 = jnp.stack([m[..., 2, 1] - m[..., 1, 2],
+                    t1,
+                    m[..., 0, 1] + m[..., 1, 0],
+                    m[..., 0, 2] + m[..., 2, 0]], axis=-1)
+    q2 = jnp.stack([m[..., 0, 2] - m[..., 2, 0],
+                    m[..., 0, 1] + m[..., 1, 0],
+                    t2,
+                    m[..., 1, 2] + m[..., 2, 1]], axis=-1)
+    q3 = jnp.stack([m[..., 1, 0] - m[..., 0, 1],
+                    m[..., 0, 2] + m[..., 2, 0],
+                    m[..., 1, 2] + m[..., 2, 1],
+                    t3], axis=-1)
+    ts = jnp.stack([t0, t1, t2, t3], axis=-1)
+    best = jnp.argmax(ts, axis=-1)[..., None]
+    q = jnp.where(best == 0, q0,
+                  jnp.where(best == 1, q1,
+                            jnp.where(best == 2, q2, q3)))
+    return normalize(q)
+
+
 def from_axis_angle(aa: jax.Array) -> jax.Array:
     """Angle-axis (3,) → unit quaternion (4,). Safe at ‖aa‖→0.
 

@@ -122,7 +122,7 @@ def test_tpu_full_solve_converges(ba, plan, fns_pl):
     assert summary.termination == "CONVERGENCE"
     assert params.points.shape == ba.params0.points.shape
     assert summary.linear_solver == "banded_schur"
-    assert summary.evaluator == "pallas"
+    assert summary.evaluator.startswith("pallas")
 
     _, summary_w = lm.solve(ba.problem, ba.params0,
                             SolverOptions(linear_solver="banded_schur",
@@ -188,5 +188,5 @@ def test_pallas_compile_failure_falls_back_to_xla(ba):
     assert any("falling back" in str(x.message) for x in w)
     # And the fallback engine actually solves.
     _, summary = lm.solve(ba.problem, ba.params0, opts, fns=fns)
-    assert summary.evaluator == "xla"
+    assert summary.evaluator.startswith("xla")
     assert summary.final_cost < summary.initial_cost
