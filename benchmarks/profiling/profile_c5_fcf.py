@@ -28,8 +28,11 @@ def t(name, f, *args):
     return out
 
 
+# Damp only the diagonal slots (C6_DIAG) — the same operation solve_step
+# performs, not a jitter of the off-diagonals.
 c6inv = jax.block_until_ready(
-    jax.jit(banded_tpu.invert_sym3_planes)(aux["c6"] + 1e-3))
+    jax.jit(banded_tpu.invert_sym3_planes)(
+        aux["c6"].at[:, banded_tpu.C6_DIAG, :].add(1e-3)))
 t("fcf_band_planes", lambda F, ci: banded_tpu.fcf_band_planes(F, ci, plan),
   aux["F"], c6inv)
 t("solve_step (full)", fns["solve_step"], aux, radius)

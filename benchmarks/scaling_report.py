@@ -82,9 +82,14 @@ def solve_config(config, scale, opts_kw, fns_builder=None, dtype_name="f32"):
         "n_obs": int(jnp.sum(ba.problem.obs.mask)),
         "lm_iterations": len(s.iterations),
         "iters_per_sec": round(len(s.iterations) / iter_wall, 4),
-        "eval_s_per_iter": round(s.evaluation_time / max(
+        # Wall attribution caveats: with the fused try_step,
+        # linear_solver_time covers the WHOLE step attempt (solve +
+        # retract + candidate cost), not just the Schur solve; under the
+        # on-device loop (device_loop != "off") both phase timers are 0 —
+        # the loop never returns to the host between phases.
+        "prepare_s_per_iter": round(s.evaluation_time / max(
             len(s.iterations), 1), 4),
-        "linsolve_s_per_iter": round(s.linear_solver_time / max(
+        "step_attempt_s_per_iter": round(s.linear_solver_time / max(
             len(s.iterations), 1), 4),
         "wall_s": round(wall, 3),
         "generate_s": round(gen_s, 1),

@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     src.add_argument("--config", choices=sorted(CONFIG_SOLVER_DEFAULTS),
                      help="synthetic judged-config preset")
     src.add_argument("--bal", metavar="FILE",
-                     help="BAL-format problem file (text or .bz2)")
+                     help="BAL-format problem file (text, .gz or .bz2)")
     p.add_argument("--scale", type=float, default=1.0,
                    help="size multiplier for synthetic configs")
     p.add_argument("--seed", type=int, default=0)
@@ -53,9 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the portable XLA window engine (default: pallas "
                         "on TPU, xla elsewhere)")
     p.add_argument("--preconditioner",
-                   choices=["jacobi", "schur_jacobi", "cluster_tridiag"],
+                   choices=["jacobi", "schur_jacobi", "cluster_jacobi"],
                    default="schur_jacobi",
-                   help="PCG preconditioner; cluster_tridiag (16-pose "
+                   help="PCG preconditioner; cluster_jacobi (16-pose "
                         "segment blocks) applies to the banded solvers")
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--max-cg-iterations", type=int, default=100)
@@ -63,6 +63,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--function-tolerance", type=float, default=1e-6)
     p.add_argument("--shard", action="store_true",
                    help="run the multi-chip sharded solver over all devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before mesh "
+                        "construction so --shard spans a multi-host pod; "
+                        "run the same command on every host (TPU pods "
+                        "auto-discover the coordinator)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator HOST:PORT for --multihost on "
+                        "non-TPU clusters (default: auto-discover)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="process count for --multihost (default: auto)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's index for --multihost "
+                        "(default: auto)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="persist solver state each accepted step (orbax)")
     p.add_argument("--resume", action="store_true",
@@ -97,6 +110,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.multihost:
+        from ..dist import initialize_multihost
+        info_mh = initialize_multihost(args.coordinator,
+                                       args.num_processes, args.process_id)
+        print(f"[rsba_tpu] multihost: process "
+              f"{info_mh['process_id']}/{info_mh['process_count']}, "
+              f"{info_mh['local_devices']} local / "
+              f"{info_mh['global_devices']} global devices")
 
     import jax.numpy as jnp
 

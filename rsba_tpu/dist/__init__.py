@@ -9,7 +9,7 @@ single-process, shared-memory C++ solver); this subsystem is the
 TPU-native scaling design mandated by BASELINE.json's north star.
 """
 from .banded_sharded import make_sharded_window_solver_fns
-from .mesh import make_mesh, shard_ba
+from .mesh import initialize_multihost, make_mesh, shard_ba
 from .partition import PartitionInfo, repartition_by_point
 from .sharded import make_sharded_solver_fns
 

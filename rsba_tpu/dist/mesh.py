@@ -17,6 +17,40 @@ from ..problem.types import Observations, Params, Problem
 AXIS = "dp"
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> dict:
+    """Multi-host process bootstrap (SURVEY.md §4.2 item 5, §5.8).
+
+    Calls ``jax.distributed.initialize`` — on Cloud TPU pods the three
+    arguments auto-discover from the TPU metadata/environment, so the
+    launch line per host is simply::
+
+        python -m rsba_tpu.cli.run --config=rs_mhost_pcg --shard --multihost
+
+    (or pass --coordinator=HOST:PORT --num-processes=N --process-id=I
+    explicitly on non-TPU clusters).  After initialization
+    ``jax.devices()`` spans every process and :func:`make_mesh` builds
+    the global mesh; asserts that it does.
+
+    Returns {"process_id", "process_count", "global_devices",
+    "local_devices"} for logging.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    n_global = len(jax.devices())
+    n_local = len(jax.local_devices())
+    if jax.process_count() > 1 and not n_global > n_local:
+        raise RuntimeError(
+            f"multi-host init saw {jax.process_count()} processes but the "
+            f"global device list ({n_global}) does not exceed the local "
+            f"one ({n_local}) — the mesh would not span the pod")
+    return {"process_id": jax.process_index(),
+            "process_count": jax.process_count(),
+            "global_devices": n_global, "local_devices": n_local}
+
+
 def make_mesh(devices=None, axis: str = AXIS) -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), (axis,))

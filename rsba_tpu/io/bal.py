@@ -32,8 +32,13 @@ BAL_CAMERA_MODEL = CameraModel(rolling_shutter=False, use_distortion=True,
 
 
 def _open(path: str, mode: str = "rt"):
-    return gzip.open(path, mode) if str(path).endswith(".gz") else open(
-        path, mode)
+    p = str(path)
+    if p.endswith(".gz"):
+        return gzip.open(path, mode)
+    if p.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, mode)
+    return open(path, mode)
 
 
 def load_bal(path: str, *, loss: Loss = Loss("huber", 4.0),

@@ -277,7 +277,7 @@ def make_band_preconditioner(S_band: jax.Array, kind: str,
     kind = "schur_jacobi": per-pose 6×6 diagonal blocks (Ceres
     SCHUR_JACOBI) — batched Cholesky + cho_solve.
 
-    kind = "cluster_tridiag": contiguous ``segment``-pose blocks of the
+    kind = "cluster_jacobi": contiguous ``segment``-pose blocks of the
     band, each factored dense — the video-trajectory analogue of Ceres's
     visibility-clustered tier (CLUSTER_JACOBI / CLUSTER_TRIDIAGONAL):
     on a trajectory the "clusters" of co-visible cameras ARE contiguous
@@ -289,17 +289,20 @@ def make_band_preconditioner(S_band: jax.Array, kind: str,
     """
     P, W = S_band.shape[0], S_band.shape[1]
     if kind in ("jacobi", "schur_jacobi"):
-        L0 = jax.vmap(jnp.linalg.cholesky)(S_band[:, 0])
+        # Closed-form 6×6 inverses (blocked Schur over invert_3x3_psd):
+        # XLA's batched cholesky/cho_solve on tiny blocks lowers to a
+        # serialized loop on TPU; the explicit inverse makes the per-CG-
+        # iteration apply one batched (P,6,6)×(P,6) contraction.  Round-
+        # off only perturbs the CG convergence rate, never the solution.
+        from .schur import invert_6x6_psd
+        Minv = invert_6x6_psd(S_band[:, 0])
 
         def apply(r_flat):
             r = r_flat.reshape(P, POSE_DOF)
-            z = jax.vmap(
-                lambda L, v: jax.scipy.linalg.cho_solve((L, True), v))(
-                    L0, r)
-            return z.reshape(-1)
+            return jnp.einsum("pab,pb->pa", Minv, r).reshape(-1)
 
         return apply
-    if kind != "cluster_tridiag":
+    if kind != "cluster_jacobi":
         raise ValueError(kind)
 
     K = min(segment, P)
@@ -505,6 +508,7 @@ def make_window_solver_fns(problem: Problem, plan: WindowPlan,
 
         call._jitted = jf       # for utils.roofline (XLA cost analysis)
         call._bound = bound
+        call._precision = options.matmul_precision
         return call
 
     raw = {

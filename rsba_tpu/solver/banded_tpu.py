@@ -326,6 +326,7 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
 
         call._jitted = jf       # for utils.roofline (XLA cost analysis)
         call._bound = bound
+        call._precision = options.matmul_precision
         return call
 
     raw = {

@@ -176,6 +176,7 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
 
         call._jitted = jf       # for utils.roofline (XLA cost analysis)
         call._bound = ()
+        call._precision = options.matmul_precision
         return call
 
     return attach_try_step({

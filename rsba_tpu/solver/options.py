@@ -6,7 +6,7 @@ import dataclasses
 
 LINEAR_SOLVERS = ("auto", "dense", "dense_schur", "iterative_schur",
                   "banded_schur")
-PRECONDITIONERS = ("jacobi", "schur_jacobi", "cluster_tridiag")
+PRECONDITIONERS = ("jacobi", "schur_jacobi", "cluster_jacobi")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,9 +36,12 @@ class SolverOptions:
     # PCG preconditioner.  "jacobi" / "schur_jacobi" apply to both the
     # flat iterative_schur and banded solvers ("jacobi" on the banded
     # path aliases schur_jacobi: the band's d=0 diagonal blocks ARE the
-    # Schur-Jacobi blocks).  "cluster_tridiag" — the visibility-clustered
-    # tier (Ceres CLUSTER_JACOBI/TRIDIAGONAL analogue) — factors
-    # contiguous 16-pose segments of the band dense; banded solvers only.
+    # Schur-Jacobi blocks).  "cluster_jacobi" — the visibility-clustered
+    # tier (Ceres CLUSTER_JACOBI analogue: on a video trajectory the
+    # camera clusters ARE contiguous pose segments) — factors contiguous
+    # 16-pose segments of the band dense, dropping only cross-boundary
+    # coupling (block-diagonal by segment, hence the -jacobi name);
+    # banded solvers only.
     preconditioner: str = "schur_jacobi"
     min_lm_diagonal: float = 1e-6
     max_lm_diagonal: float = 1e32

@@ -216,9 +216,9 @@ def pcg(matvec, precond, b: jax.Array, max_iterations: int, eta: float):
 
 def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
     """(prepare, solve_step) for the LM driver — ITERATIVE_SCHUR equivalent."""
-    if options.preconditioner == "cluster_tridiag":
+    if options.preconditioner == "cluster_jacobi":
         raise ValueError(
-            "preconditioner='cluster_tridiag' requires the banded window "
+            "preconditioner='cluster_jacobi' requires the banded window "
             "solver (contiguous pose segments of the band); the flat "
             "iterative_schur solver supports 'jacobi'/'schur_jacobi'")
 

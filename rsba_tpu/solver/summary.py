@@ -48,7 +48,12 @@ class Summary:
     num_parameters_tangent: int = 0
     num_successful_steps: int = 0
     num_unsuccessful_steps: int = 0
-    # Wall-clock phase breakdown (seconds)
+    # Wall-clock phase breakdown (seconds).  Attribution caveats:
+    # with the fused try_step dispatch, linear_solver_time covers the
+    # whole step attempt (solve + retract + candidate cost), not just
+    # the Schur solve; under the on-device loop (evaluator tag ends in
+    # "+device_loop") both per-phase timers stay 0 — the loop never
+    # returns to the host between phases, only total_time is meaningful.
     preprocessing_time: float = 0.0
     evaluation_time: float = 0.0
     linear_solver_time: float = 0.0

@@ -59,8 +59,13 @@ def _cost_analysis(call: Callable, args) -> Optional[dict]:
     if jf is None:
         return None
     bound = getattr(call, "_bound", ())
+    # Lower under the SAME matmul precision the timed wrapper traces with
+    # — precision is part of the trace context, so a different one would
+    # both recompile and cost-model a different executable.
+    precision = getattr(call, "_precision", None) or "default"
     try:
-        ca = jf.lower(*bound, *args).compile().cost_analysis()
+        with jax.default_matmul_precision(precision):
+            ca = jf.lower(*bound, *args).compile().cost_analysis()
     except Exception:
         return None
     if isinstance(ca, (list, tuple)):

@@ -191,8 +191,8 @@ def test_banded_full_solve_converges(ba, plan):
     assert summary.final_rmse_inlier < 1.2 * ba.pixel_noise
 
 
-def test_cluster_tridiag_preconditioner_matches_dense_segments(ba, plan):
-    """make_band_preconditioner('cluster_tridiag') == explicit dense
+def test_cluster_jacobi_preconditioner_matches_dense_segments(ba, plan):
+    """make_band_preconditioner('cluster_jacobi') == explicit dense
     segment-block solve (numpy oracle)."""
     params_int = banded.to_internal(ba.params0, plan)
     ev_w = banded.evaluate(params_int, plan, ba.problem)
@@ -203,7 +203,7 @@ def test_cluster_tridiag_preconditioner_matches_dense_segments(ba, plan):
     S_band = banded.schur_band(a, plan, C_inv, lm_cam)
 
     K = 4
-    apply = banded.make_band_preconditioner(S_band, "cluster_tridiag",
+    apply = banded.make_band_preconditioner(S_band, "cluster_jacobi",
                                             segment=K)
     P = plan.n_poses
     rng = np.random.RandomState(1)
@@ -230,11 +230,11 @@ def test_cluster_tridiag_preconditioner_matches_dense_segments(ba, plan):
     np.testing.assert_allclose(z, z_ref, rtol=1e-8, atol=1e-10)
 
 
-def test_cluster_tridiag_full_solve(ba):
+def test_cluster_jacobi_full_solve(ba):
     """End-to-end banded solve under the cluster preconditioner reaches
     the same optimum, in no more CG iterations than Schur-Jacobi."""
     opts_c = SolverOptions(linear_solver="banded_schur",
-                           preconditioner="cluster_tridiag",
+                           preconditioner="cluster_jacobi",
                            max_iterations=30)
     opts_j = SolverOptions(linear_solver="banded_schur",
                            preconditioner="schur_jacobi",

@@ -81,8 +81,8 @@ def test_schur_jacobi_beats_jacobi_iterations():
     assert iters["schur_jacobi"] < iters["jacobi"]
 
 
-def test_flat_solver_rejects_cluster_tridiag():
-    """cluster_tridiag is a banded-solver tier; the flat solver must say
+def test_flat_solver_rejects_cluster_jacobi():
+    """cluster_jacobi is a banded-solver tier; the flat solver must say
     so instead of silently degrading to plain Jacobi."""
     import jax.numpy as jnp
     import pytest
@@ -94,7 +94,7 @@ def test_flat_solver_rejects_cluster_tridiag():
     ba = synthetic.make_ba_problem(
         n_poses=5, n_points=60, track_len=3, rolling_shutter=False,
         pixel_noise=0.5, seed=1, dtype=jnp.float64, pad_to=32)
-    with pytest.raises(ValueError, match="cluster_tridiag"):
+    with pytest.raises(ValueError, match="cluster_jacobi"):
         make_iterative_schur_solver(
             ba.problem, SolverOptions(linear_solver="iterative_schur",
-                                      preconditioner="cluster_tridiag"))
+                                      preconditioner="cluster_jacobi"))
