@@ -101,6 +101,13 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
     evaluator)`` — the *resolved* pair, recorded in the Summary so logs
     and benchmarks always show which engine actually ran.
     """
+    if options.trust_region_strategy == "dogleg":
+        # Dogleg needs an exact step solver (Ceres restriction); the
+        # factory validates linear_solver and wraps the base engine.
+        from .dogleg import make_dogleg_solver
+        prepare, solve_step = make_dogleg_solver(problem, options)
+        return _flat_fns(problem, options, prepare, solve_step,
+                         engine=(options.linear_solver, "xla-flat-dogleg"))
     if options.linear_solver in ("auto", "banded_schur"):
         from .window import build_window_plan
         plan = build_window_plan(problem)
@@ -142,8 +149,14 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         prepare, solve_step = make_iterative_schur_solver(problem, options)
     else:
         raise ValueError(options.linear_solver)
+    return _flat_fns(problem, options, prepare, solve_step,
+                     engine=(options.linear_solver, "xla-flat"))
 
-    shapes_cache = {}
+
+def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
+              engine):
+    """Shared phase-fn dict for flat-layout engines (dense / dense_schur /
+    iterative_schur / dogleg): retraction, cost, stats — plus jit wrap."""
 
     def apply_step(params: Params, dx: jax.Array):
         shapes = assembly.tangent_shapes(problem, params)
@@ -186,7 +199,7 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
         "cost": _wrap(cost_fn),
         "cost_decrease": _wrap(cost_decrease_fn),
         "error_stats": _wrap(error_stats),
-        "engine": (options.linear_solver, "xla-flat"),
+        "engine": engine,
     }, options)
 
 
@@ -330,17 +343,29 @@ def solve(problem: Problem, params: Params,
                         else float(fns["cost_decrease"](params, cand)))
             new_cost = cost - decrease
             rho = decrease / pred
+            dogleg_rule = options.trust_region_strategy == "dogleg"
             if jnp.isfinite(new_cost) and rho > options.min_relative_decrease:
                 accepted = True
                 new_params = cand
-                # Ceres radius growth: μ ← μ / max(1/3, 1 − (2ρ−1)³)
-                radius = min(
-                    radius / max(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3),
-                    options.max_radius)
+                if dogleg_rule:
+                    from .dogleg import update_radius_dogleg
+                    radius = update_radius_dogleg(radius, rho, step_norm,
+                                                  True, options)
+                else:
+                    # Ceres radius growth: μ ← μ / max(1/3, 1 − (2ρ−1)³)
+                    radius = min(
+                        radius / max(1.0 / 3.0,
+                                     1.0 - (2.0 * rho - 1.0) ** 3),
+                        options.max_radius)
                 decrease_factor = 2.0
             else:
-                radius /= decrease_factor
-                decrease_factor *= 2.0
+                if dogleg_rule:
+                    from .dogleg import update_radius_dogleg
+                    radius = update_radius_dogleg(radius, rho, step_norm,
+                                                  False, options)
+                else:
+                    radius /= decrease_factor
+                    decrease_factor *= 2.0
                 # Stagnation: both the model's predicted decrease and the
                 # actual change are below function tolerance — the optimum
                 # is resolved to working precision (matters in f32 on TPU,

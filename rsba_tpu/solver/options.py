@@ -18,7 +18,10 @@ class SolverOptions:
     1/max(1/3, 1−(2ρ−1)³) on accepted steps and halved-with-backoff on
     rejections.
     """
-    # Outer loop
+    # Outer loop.  trust_region_strategy: "lm" (Levenberg-Marquardt,
+    # default) or "dogleg" (Ceres TRADITIONAL_DOGLEG — requires an exact
+    # step solver: linear_solver "dense" or "dense_schur").
+    trust_region_strategy: str = "lm"
     max_iterations: int = 50
     initial_radius: float = 1e4
     max_radius: float = 1e16
@@ -102,6 +105,10 @@ class SolverOptions:
             raise ValueError(
                 f"row_tile must be 0 (auto) or a power of two, "
                 f"got {self.row_tile}")
+        if self.trust_region_strategy not in ("lm", "dogleg"):
+            raise ValueError(
+                f"trust_region_strategy must be 'lm' or 'dogleg', "
+                f"got {self.trust_region_strategy!r}")
         if self.device_loop not in ("auto", "on", "off"):
             raise ValueError(
                 f"device_loop must be 'auto', 'on' or 'off', "
