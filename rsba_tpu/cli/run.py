@@ -161,9 +161,10 @@ def main(argv=None) -> int:
 
     callback = None
     ckpt = None
+    resume_summary = None
     if args.checkpoint_dir:
         from ..utils import SolverCheckpointer
-        ckpt = SolverCheckpointer(args.checkpoint_dir)
+        ckpt = SolverCheckpointer(args.checkpoint_dir, options=options)
         callback = ckpt.callback
         if args.resume:
             restored = ckpt.restore()
@@ -171,8 +172,18 @@ def main(argv=None) -> int:
                 it0, params0, radius = restored
                 options = options.__class__(
                     **{**options.__dict__, "initial_radius": radius})
+                history = ckpt.restore_history()
+                if history:
+                    from ..solver.summary import Summary
+                    resume_summary = Summary(iterations=history)
+                    resume_summary.num_successful_steps = sum(
+                        1 for it in history if it.accepted)
+                    resume_summary.num_unsuccessful_steps = sum(
+                        1 for it in history if not it.accepted)
+                    resume_summary.initial_cost = history[0].cost
                 print(f"[rsba_tpu] resumed from checkpoint step {it0} "
-                      f"(radius {radius:.3e})")
+                      f"(radius {radius:.3e}, "
+                      f"{len(history)} prior iteration records)")
 
     fns = None
     info = None
@@ -206,7 +217,8 @@ def main(argv=None) -> int:
                 else contextlib.nullcontext())
     with trace_cm:
         params, summary = lm.solve(problem, params0, options,
-                                   callback=callback, fns=fns)
+                                   callback=callback, fns=fns,
+                                   summary=resume_summary)
     if ckpt is not None:
         ckpt.wait()
     wall = time.perf_counter() - t0

@@ -192,7 +192,7 @@ def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
         call._precision = options.matmul_precision
         return call
 
-    return attach_try_step({
+    fns = attach_try_step({
         "prepare": _wrap(prepare),
         "solve_step": _wrap(solve_step),
         "apply_step": _wrap(apply_step),
@@ -201,12 +201,26 @@ def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
         "error_stats": _wrap(error_stats),
         "engine": engine,
     }, options)
+    # Raw phase closures → the on-device LM loop (lm_device.py) applies
+    # to the flat engines too.  Dogleg keeps the host loop: its radius
+    # rules (dogleg.update_radius_dogleg) differ from the LM rules the
+    # device loop implements.
+    if options.trust_region_strategy == "lm":
+        fns["raw"] = {
+            "bound": (),
+            "prepare": lambda b, p: prepare(p),
+            "solve_step": lambda b, aux, radius: solve_step(aux, radius),
+            "apply_step": lambda b, p, dx: apply_step(p, dx),
+            "cost_decrease": lambda b, a, c: cost_decrease_fn(a, c),
+        }
+    return fns
 
 
 def solve(problem: Problem, params: Params,
           options: SolverOptions = SolverOptions(),
           callback: Optional[Callable] = None,
-          fns: Optional[dict] = None) -> Tuple[Params, Summary]:
+          fns: Optional[dict] = None,
+          summary: Optional[Summary] = None) -> Tuple[Params, Summary]:
     """Run LM to convergence.  Returns (optimized params, Summary).
 
     ``callback(iteration, params, iteration_summary)`` is invoked after
@@ -216,12 +230,19 @@ def solve(problem: Problem, params: Params,
     ``fns`` overrides the phase functions — this is how the sharded
     multi-chip solver (dist.make_sharded_solver_fns) reuses this driver:
     trust-region control is identical single-chip and multi-host.
+
+    ``summary`` optionally continues an existing Summary (resume path:
+    the checkpointer's restored iteration history flows in here so the
+    record stream spans restarts).
     """
     t_start = time.perf_counter()
     if fns is None:
         fns = make_solver_fns(problem, options)
     engine = fns.get("engine", (options.linear_solver, ""))
-    summary = Summary(linear_solver=engine[0], evaluator=engine[1])
+    if summary is None:
+        summary = Summary()
+    summary.linear_solver = engine[0]
+    summary.evaluator = engine[1]
     shapes = assembly.tangent_shapes(problem, params)
     summary.num_residuals = int(2 * jnp.sum(problem.obs.mask))
     summary.num_parameters_tangent = shapes.total_dim

@@ -290,7 +290,8 @@ def run_blocks(fns: dict, params, options: SolverOptions,
             (out["term"], out["n_rec"], out["records"]))
         block_wall = time.perf_counter() - t0
         if first:
-            summary.initial_cost = float(jax.device_get(out["cost0"]))
+            if not summary.iterations:     # not a resumed history
+                summary.initial_cost = float(jax.device_get(out["cost0"]))
             first = False
         params, radius, df, inv, n_outer = (
             out["params"], out["radius"], out["df"], out["inv"],
@@ -299,7 +300,7 @@ def run_blocks(fns: dict, params, options: SolverOptions,
 
         n_rec = int(n_rec)
         per_rec = block_wall / max(n_rec, 1)
-        last_accepted = None
+        cb_params = None
         for i in range(n_rec):
             cost, dcost, gmax, snorm, rho, rad, acc, li = (
                 float(v) for v in records[i])
@@ -312,13 +313,17 @@ def run_blocks(fns: dict, params, options: SolverOptions,
             summary.iterations.append(it)
             if it.accepted:
                 summary.num_successful_steps += 1
-                last_accepted = it
+                # Host-loop parity: the callback fires once per ACCEPTED
+                # record (so e.g. checkpoint history is complete); only
+                # the params argument is coarser — the block's final
+                # params, the device loop's intermediates stayed on chip.
+                if callback is not None:
+                    if cb_params is None:
+                        cb_params = (to_external(params)
+                                     if to_external is not None else params)
+                    callback(summary.num_iterations, cb_params, it)
             else:
                 summary.num_unsuccessful_steps += 1
-        if callback is not None and last_accepted is not None:
-            cb_params = (to_external(params) if to_external is not None
-                         else params)
-            callback(summary.num_iterations, cb_params, last_accepted)
         if int(term) != TERM_RUNNING:
             summary.termination, summary.message = _TERMINATIONS[int(term)]
             break

@@ -56,11 +56,29 @@ def test_device_loop_blocks_fire_callback():
 
 
 def test_device_loop_on_requires_raw_engine():
+    # Dogleg keeps the host loop (its radius rules differ); device_loop
+    # "on" must refuse rather than silently use LM rules.
     ba = synthetic.CONFIGS["gs_small"](scale=0.2, seed=0,
                                        dtype=jnp.float64)
-    opts = SolverOptions(linear_solver="dense", device_loop="on")
+    opts = SolverOptions(linear_solver="dense", device_loop="on",
+                         trust_region_strategy="dogleg")
     with pytest.raises(ValueError, match="device_loop"):
         solve(ba.problem, ba.params0, opts)
+
+
+def test_device_loop_flat_engines_match_host():
+    ba = synthetic.CONFIGS["gs_small"](scale=0.2, seed=0,
+                                       dtype=jnp.float64)
+    outs = {}
+    for dl in ("off", "on"):
+        opts = SolverOptions(linear_solver="dense", max_iterations=30,
+                             device_loop=dl)
+        _, outs[dl] = solve(ba.problem, ba.params0, opts)
+    assert outs["on"].evaluator.endswith("+device_loop")
+    assert outs["off"].termination == outs["on"].termination
+    assert outs["off"].num_iterations == outs["on"].num_iterations
+    assert outs["on"].final_cost == pytest.approx(outs["off"].final_cost,
+                                                  rel=1e-9)
 
 
 def test_device_loop_respects_max_iterations():
