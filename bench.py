@@ -98,6 +98,19 @@ def main():
                          preconditioner="schur_jacobi",
                          max_cg_iterations=100, cg_eta=1e-2,
                          max_iterations=60,
+                         # CPU baselines default to the HOST loop: real
+                         # per-iteration wall times (the device loop's
+                         # uniform block-average attribution distorts
+                         # wall-to-convergence), mirroring a host-driven
+                         # CPU solver like Ceres's own loop.  Set
+                         # RSBA_BENCH_CPU_DEVICE_LOOP=1 to measure the
+                         # device-loop variant — on CPU it makes the
+                         # banded engine ~1.4x faster in iters/s; the
+                         # STRONGEST measurement should be stored
+                         # (baseline-honesty: smallest denominator).
+                         device_loop=("auto" if (not cpu_mode or os.environ
+                                      .get("RSBA_BENCH_CPU_DEVICE_LOOP"))
+                                      else "off"),
                          verbose=os.environ.get("RSBA_BENCH_VERBOSE") == "1")
 
     if not cpu_mode:
@@ -203,7 +216,6 @@ def main():
         except Exception as e:  # cost analysis unavailable on some PJRT
             details["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    import os
     details["baseline_caveat"] = (
         f"CPU baseline is this framework's own flat iterative-Schur on "
         f"XLA-CPU f64 ({os.cpu_count()} cores on this host), standing in "

@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default="schur_jacobi",
                    help="PCG preconditioner; cluster_jacobi (16-pose "
                         "segment blocks) applies to the banded solvers")
+    p.add_argument("--trust-region-strategy", choices=["lm", "dogleg"],
+                   default="lm",
+                   help="dogleg (Ceres TRADITIONAL_DOGLEG) requires an "
+                        "exact step solver: dense or dense_schur")
+    p.add_argument("--check-gradients", action="store_true",
+                   help="verify autodiff Jacobians against finite "
+                        "differences before solving (Ceres "
+                        "check_gradients); raises on mismatch")
     p.add_argument("--max-iterations", type=int, default=50)
     p.add_argument("--max-cg-iterations", type=int, default=100)
     p.add_argument("--cg-eta", type=float, default=1e-2)
@@ -148,6 +156,8 @@ def main(argv=None) -> int:
     options = SolverOptions(
         linear_solver=solver, preconditioner=args.preconditioner,
         evaluator=args.evaluator,
+        trust_region_strategy=args.trust_region_strategy,
+        check_gradients=args.check_gradients,
         max_iterations=args.max_iterations,
         max_cg_iterations=args.max_cg_iterations, cg_eta=args.cg_eta,
         function_tolerance=args.function_tolerance, verbose=args.verbose)

@@ -33,6 +33,10 @@ Outputs (planes layout, consumed by solver/banded_tpu.py):
     c6     (NR, 6, G)      per-point 3×3 JᵀJ, packed symmetric
                            [00, 01, 02, 11, 12, 22]
     F      (NR, W, 18, G)  camera-point coupling blocks, comp = 3a + p
+    rho    (NR, L, G)      per-slot robustified costs (masked) — lets the
+                           step attempt's pairwise-differenced cost
+                           decrease reuse the prepare-time pass (one
+                           residual evaluation per attempt, not two)
 """
 from __future__ import annotations
 
@@ -202,6 +206,7 @@ def _project(q, c, X, intr, model: CameraModel):
 def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
             mask_ref, offs_ref, rsf_ref, intr_ref,
             cost_ref, gw_ref, b0_ref, b1_ref, gpt_ref, c6_ref, ff_ref,
+            rho_ref,
             *, model: CameraModel, loss: Loss, W: int, dtype,
             exact: bool):
     RT, L, G = tt_ref.shape
@@ -293,7 +298,9 @@ def _kernel(pose_ref, pts_ref, ptf_ref, uv_ref, tt_ref,
         """(RT, L, G) → (RT, 1), summed over L then G (keepdims, ≥2-D)."""
         return jnp.sum(jnp.sum(x, axis=1), axis=1, keepdims=True)
 
-    row_cost = 0.5 * rsum(jnp.where(valid, rho, 0.0))  # (RT, 1)
+    rho_m = jnp.where(valid, rho, 0.0)
+    rho_ref[:] = rho_m
+    row_cost = 0.5 * rsum(rho_m)                       # (RT, 1)
     cost_ref[:] = jnp.broadcast_to(row_cost[:, None, :], cost_ref.shape)
 
     # Point-side: g_pt (RT, 3, G), C6 (RT, 6, G) — sum over L.
@@ -432,6 +439,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
         jax.ShapeDtypeStruct((NR, 3, G), dtype),          # g_pt
         jax.ShapeDtypeStruct((NR, 6, G), dtype),          # c6
         jax.ShapeDtypeStruct((NR, W, 18, G), dtype),      # F
+        jax.ShapeDtypeStruct((NR, L, G), dtype),          # rho per slot
     )
     out_specs = (
         row_block(1, 8),
@@ -441,6 +449,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
         row_block(3, G),
         row_block(6, G),
         row_block(W, 18, G),
+        row_block(L, G),
     )
     in_specs = [
         row_block(16, L, G),  # pose planes
@@ -457,7 +466,7 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
     kernel = functools.partial(_kernel, model=model, loss=loss, W=W,
                                dtype=dtype,
                                exact=interpret if exact is None else exact)
-    cost_t, gw, b0, b1, gpt, c6, F = pl.pallas_call(
+    cost_t, gw, b0, b1, gpt, c6, F, rho = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -466,4 +475,4 @@ def fused_evaluate_assemble(pose, pts, ptf, uv, tt, mask, offs,
         interpret=interpret,
     )(pose, pts, ptf3, uv, tt, mask, offs, rsf, intr)
     return {"cost": jnp.sum(cost_t[:, 0, 0]), "gw": gw, "b0": b0, "b1": b1,
-            "g_pt": gpt, "c6": c6, "F": F}
+            "g_pt": gpt, "c6": c6, "F": F, "rho": rho}

@@ -72,7 +72,12 @@ def attach_try_step(fns: dict, options: SolverOptions) -> dict:
     def try_step(params, aux, radius):
         dx, predicted, li = fns["solve_step"](aux, radius)
         cand, step_norm, x_norm = fns["apply_step"](params, dx)
-        decrease = fns["cost_decrease"](params, cand)
+        if "cost_decrease_aux" in fns:
+            # aux caches the current per-slot robust costs: the pairwise
+            # decrease needs only the candidate's residual pass.
+            decrease = fns["cost_decrease_aux"](aux, cand)
+        else:
+            decrease = fns["cost_decrease"](params, cand)
         finite = jnp.array(True)
         for leaf in jax.tree.leaves(dx):
             finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))
@@ -236,6 +241,11 @@ def solve(problem: Problem, params: Params,
     record stream spans restarts).
     """
     t_start = time.perf_counter()
+    if options.check_gradients:
+        from .gradient_check import check_gradients as _check
+        tol = options.gradient_check_relative_precision or (
+            1e-5 if params.dtype == jnp.float64 else 2e-3)
+        _check(problem, params, relative_precision=tol)
     if fns is None:
         fns = make_solver_fns(problem, options)
     engine = fns.get("engine", (options.linear_solver, ""))

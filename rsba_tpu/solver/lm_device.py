@@ -136,7 +136,12 @@ def make_device_runner(raw: dict, options: SolverOptions,
         dtype = s.cost.dtype
         dx, predicted, li = raw["solve_step"](bound, s.aux, s.radius)
         cand, step_norm, x_norm = raw["apply_step"](bound, s.params, dx)
-        decrease = raw["cost_decrease"](bound, s.params, cand)
+        # Prefer the aux-cached pairwise cost decrease (one residual pass
+        # on the candidate) when the engine provides it.
+        if "cost_decrease_aux" in raw:
+            decrease = raw["cost_decrease_aux"](bound, s.aux, cand)
+        else:
+            decrease = raw["cost_decrease"](bound, s.params, cand)
 
         valid = (_tree_finite(dx) & (predicted > 0)
                  & jnp.isfinite(predicted))

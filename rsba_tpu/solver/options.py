@@ -85,6 +85,14 @@ class SolverOptions:
     # then fires once at the end).
     device_block_iters: int = 8
 
+    # Runtime gradient verification (Ceres Solver::Options::check_gradients
+    # / GradientChecker, SURVEY.md C25): before solving, compare autodiff
+    # block Jacobians against central finite differences on a sample of
+    # observations; raise on mismatch.  The tolerance is dtype-aware in
+    # lm.solve (FD in f32 floors at ~1e-3).
+    check_gradients: bool = False
+    gradient_check_relative_precision: float = 0.0   # 0 = dtype default
+
     # Reporting
     verbose: bool = False
 

@@ -85,20 +85,31 @@ def register_frame(
     t = (np.clip(rows, 0, image_height) / float(image_height)
          if rs else np.zeros(M))
 
+    # Pad the correspondence count to a shape bucket (next multiple of
+    # 32) so repeated registrations — e.g. every frame of an SfmSession —
+    # reuse the jit cache instead of recompiling per match count.
+    Mp = -(-M // 32) * 32
+
+    def pad(a, fill=0.0):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.full((Mp - M,) + a.shape[1:], fill, a.dtype)])
+
     obs = Observations(
-        uv=jnp.asarray(uv, dtype),
-        t=jnp.asarray(t, dtype),
-        pose_a=jnp.zeros((M,), jnp.int32),
-        pose_b=jnp.full((M,), n_poses - 1, jnp.int32),
-        intr_idx=jnp.zeros((M,), jnp.int32),
-        point=jnp.arange(M, dtype=jnp.int32),
-        mask=jnp.ones((M,), dtype),
+        uv=jnp.asarray(pad(uv), dtype),
+        t=jnp.asarray(pad(t), dtype),
+        pose_a=jnp.zeros((Mp,), jnp.int32),
+        pose_b=jnp.full((Mp,), n_poses - 1, jnp.int32),
+        intr_idx=jnp.zeros((Mp,), jnp.int32),
+        point=jnp.arange(Mp, dtype=jnp.int32),
+        mask=jnp.asarray(pad(np.ones(M)), dtype),
     )
-    problem = make_problem(obs, n_poses, M, 1, model, loss,
+    problem = make_problem(obs, n_poses, Mp, 1, model, loss,
                            intr_basis=intr_basis_fixed(), dtype=dtype)
+    points3d = pad(points3d, fill=1.0)   # padded rows: masked out anyway
     # Pose-only solve: the map is constant (reference parity: RS-PnP
     # optimizes the frame pose against the fixed map).
-    problem = problem.replace(point_free=jnp.zeros((M,), dtype))
+    problem = problem.replace(point_free=jnp.zeros((Mp,), dtype))
 
     qb = q_prior if q_b_prior is None else q_b_prior
     cb = c_prior if c_b_prior is None else c_b_prior

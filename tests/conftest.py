@@ -23,3 +23,7 @@ import jax  # noqa: E402  (already imported by sitecustomize anyway)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: XLA compiles dominate suite wall time (the
+# problems themselves are tiny); repeat runs hit the disk cache instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/rsba_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

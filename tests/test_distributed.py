@@ -88,7 +88,8 @@ def test_sharded_solve_equals_single_device(solver):
     mesh = dist.make_mesh()
     prob_s, params_s = dist.shard_ba(prob2, params2, mesh)
     opts = SolverOptions(linear_solver=solver, max_iterations=30,
-                         max_cg_iterations=200, cg_eta=1e-6)
+                         max_cg_iterations=200, cg_eta=1e-6,
+                         device_loop="off")
     fns_s = dist.make_sharded_solver_fns(prob_s, opts, mesh)
 
     p_s, sum_s = lm.solve(prob_s, params_s, opts, fns=fns_s)

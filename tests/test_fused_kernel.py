@@ -23,9 +23,12 @@ from rsba_tpu.solver.options import SolverOptions
 # One shared options set → one interpret-mode kernel compile per fixture.
 # jacobi_scaling=False so raw assembly quantities are directly comparable;
 # scaling correctness is covered by test_banded.py against the flat oracle.
+# device_loop="off": the on-device loop would re-trace the interpret-mode
+# Pallas kernel inside lax.while_loop (two more multi-minute XLA-CPU
+# compiles per fixture); the loop itself is covered by test_lm_device.py.
 OPTS = SolverOptions(jacobi_scaling=False, max_cg_iterations=120,
                      cg_eta=1e-12, max_iterations=15,
-                     function_tolerance=1e-5)
+                     function_tolerance=1e-5, device_loop="off")
 
 
 @pytest.fixture(scope="module",

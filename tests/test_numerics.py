@@ -21,7 +21,8 @@ def _scene(dtype, focal=900.0):
 
 
 def test_f32_solve_matches_f64_rmse():
-    opts = SolverOptions(linear_solver="banded_schur", max_iterations=40)
+    opts = SolverOptions(linear_solver="banded_schur", max_iterations=40,
+                         device_loop="off")
     _, s64 = solve(_scene(jnp.float64).problem, _scene(jnp.float64).params0,
                    opts)
     ba32 = _scene(jnp.float32)
@@ -38,7 +39,8 @@ def test_f32_survives_long_focal_conditioning():
     """focal² enters JᵀJ — a 3000 px focal stresses f32 conditioning; the
     Jacobi-scaled solver must still reach the noise floor."""
     ba = _scene(jnp.float32, focal=3000.0)
-    opts = SolverOptions(linear_solver="banded_schur", max_iterations=40)
+    opts = SolverOptions(linear_solver="banded_schur", max_iterations=40,
+                         device_loop="off")
     _, s = solve(ba.problem, ba.params0, opts)
     assert s.termination == "CONVERGENCE"
     assert s.final_rmse_inlier < 1.2 * ba.pixel_noise
@@ -48,8 +50,10 @@ def test_jacobi_scaling_required_in_f32_is_beneficial():
     """Sanity: with scaling disabled the f32 solve must not do better
     than the scaled one (it usually stalls earlier)."""
     ba = _scene(jnp.float32, focal=3000.0)
-    opts_on = SolverOptions(linear_solver="banded_schur", max_iterations=30)
+    opts_on = SolverOptions(linear_solver="banded_schur", max_iterations=30,
+                            device_loop="off")
     opts_off = SolverOptions(linear_solver="banded_schur",
+                             device_loop="off",
                              max_iterations=30, jacobi_scaling=False)
     _, s_on = solve(ba.problem, ba.params0, opts_on)
     _, s_off = solve(ba.problem, ba.params0, opts_off)
