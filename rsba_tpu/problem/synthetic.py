@@ -20,6 +20,7 @@ measurement model the optimizer assumes (SURVEY.md §3.3).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -42,35 +43,42 @@ class SyntheticBA:
     name: str = ""
 
 
-def _lookat_quat(eye: np.ndarray, target: np.ndarray, up=None) -> np.ndarray:
-    """World→camera quaternion for a camera at `eye` looking at `target`."""
+def _quats_from_R(R: np.ndarray) -> np.ndarray:
+    """Batched rotation matrices (n,3,3) → wxyz quaternions (Shepperd)."""
+    n = R.shape[0]
+    tr = R[:, 0, 0] + R[:, 1, 1] + R[:, 2, 2]
+    sA = np.sqrt(np.maximum(tr + 1.0, 1e-12)) * 2
+    qA = np.stack([0.25 * sA, (R[:, 2, 1] - R[:, 1, 2]) / sA,
+                   (R[:, 0, 2] - R[:, 2, 0]) / sA,
+                   (R[:, 1, 0] - R[:, 0, 1]) / sA], axis=1)
+    diag = np.stack([R[:, 0, 0], R[:, 1, 1], R[:, 2, 2]], axis=1)
+    i = np.argmax(diag, axis=1)
+    j, k = (i + 1) % 3, (i + 2) % 3
+    ar = np.arange(n)
+    sB = np.sqrt(np.maximum(
+        R[ar, i, i] - R[ar, j, j] - R[ar, k, k] + 1.0, 1e-12)) * 2
+    qB = np.zeros((n, 4))
+    qB[:, 0] = (R[ar, k, j] - R[ar, j, k]) / sB
+    qB[ar, 1 + i] = 0.25 * sB
+    qB[ar, 1 + j] = (R[ar, j, i] + R[ar, i, j]) / sB
+    qB[ar, 1 + k] = (R[ar, k, i] + R[ar, i, k]) / sB
+    q = np.where((tr > 0)[:, None], qA, qB)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def _lookat_quats(eyes: np.ndarray, target: np.ndarray,
+                  up=None) -> np.ndarray:
+    """Batched world→camera quaternions for cameras looking at `target`."""
     up = np.array([0.0, -1.0, 0.0]) if up is None else up
-    z = target - eye
-    z = z / np.linalg.norm(z)
-    x = np.cross(up, z)
-    n = np.linalg.norm(x)
-    if n < 1e-9:
-        x = np.array([1.0, 0.0, 0.0])
-    else:
-        x = x / n
+    z = target[None, :] - eyes
+    z = z / np.linalg.norm(z, axis=1, keepdims=True)
+    x = np.cross(np.broadcast_to(up, z.shape), z)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    x = np.where(n < 1e-9, np.array([1.0, 0.0, 0.0]),
+                 x / np.maximum(n, 1e-12))
     y = np.cross(z, x)
-    R = np.stack([x, y, z], axis=0)  # rows: camera axes in world
-    # matrix → quaternion (wxyz), Shepperd's method
-    tr = np.trace(R)
-    if tr > 0:
-        s = np.sqrt(tr + 1.0) * 2
-        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
-                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
-    else:
-        i = np.argmax(np.diagonal(R))
-        j, k = (i + 1) % 3, (i + 2) % 3
-        s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 1e-12)) * 2
-        q = np.zeros(4)
-        q[0] = (R[k, j] - R[j, k]) / s
-        q[1 + i] = 0.25 * s
-        q[1 + j] = (R[j, i] + R[i, j]) / s
-        q[1 + k] = (R[k, i] + R[i, k]) / s
-    return q / np.linalg.norm(q)
+    R = np.stack([x, y, z], axis=1)  # (n,3,3) rows: camera axes in world
+    return _quats_from_R(R)
 
 
 def _ring_trajectory(n_poses: int, radius: float, height_amp: float,
@@ -79,41 +87,53 @@ def _ring_trajectory(n_poses: int, radius: float, height_amp: float,
     s = np.linspace(0.0, arc, n_poses)
     eye = np.stack([radius * np.cos(s), height_amp * np.sin(2.5 * s),
                     radius * np.sin(s)], axis=1)
-    qs = np.stack([_lookat_quat(e, np.zeros(3)) for e in eye])
-    # keep quaternion signs continuous along the trajectory (double cover)
-    for i in range(1, n_poses):
-        if np.dot(qs[i], qs[i - 1]) < 0:
-            qs[i] = -qs[i]
-    return qs, eye
+    qs = _lookat_quats(eye, np.zeros(3))
+    # keep quaternion signs continuous along the trajectory (double cover):
+    # the final sign of q_i is the running product of consecutive-dot signs
+    # (flipping both members of a pair leaves their dot sign unchanged, so
+    # the sequential rule telescopes into a cumprod).
+    d = np.sum(qs[1:] * qs[:-1], axis=1)
+    flip = np.concatenate([[1.0], np.cumprod(np.where(d >= 0, 1.0, -1.0))])
+    return qs * flip[:, None], eye
 
 
-def _rs_fixed_point_t(params: Params, obs_pose_a, obs_pose_b, obs_intr,
-                      obs_point, model: CameraModel, H: int,
-                      iters: int = 40, damping: float = 0.5):
-    """Solve v = proj_y(t=v/H) per observation (damped fixed point).
+@functools.partial(jax.jit,
+                   static_argnames=("model", "H", "iters", "damping"))
+def _observe_gt(params: Params, pa, pb, ii, pi, model: CameraModel, H: int,
+                iters: int = 40, damping: float = 0.5):
+    """GT observation pass, one compiled dispatch: (t, row_gap, uv, depth).
 
-    Returns (t, row_gap): ``row_gap`` = |proj_y(t)·/H − t|·H in pixels —
-    the self-consistency of the rolling-shutter measurement.  Fast
-    inter-frame motion can make the undamped iteration diverge for some
-    observations (|∂proj_y/∂row| > 1); under-relaxation fixes most, and
-    the caller drops any observation whose gap stays above a fraction of
-    a pixel (a real RS camera cannot measure such a feature on a
+    Rolling shutter solves v = proj_y(t=v/H) per observation via a damped
+    fixed point (``lax.fori_loop`` — 40 eager project dispatches used to
+    dominate every bench/scaling run, VERDICT r4 weak #5).  ``row_gap`` =
+    |proj_y(t)/H − t|·H px is the self-consistency of the RS measurement:
+    fast inter-frame motion can make the undamped iteration diverge for
+    some observations (|∂proj_y/∂row| > 1); under-relaxation fixes most,
+    and the caller drops any observation whose gap stays above a fraction
+    of a pixel (a real RS camera cannot measure such a feature on a
     consistent row either).
     """
-    qa = params.q[obs_pose_a]
-    ca = params.c[obs_pose_a]
-    qb = params.q[obs_pose_b]
-    cb = params.c[obs_pose_b]
-    intr = params.intr[obs_intr]
-    X = params.points[obs_point]
-    t = jnp.full(obs_point.shape, 0.5, dtype=params.points.dtype)
-    for _ in range(iters):
-        uv = camera.project(qa, ca, qb, cb, intr, X, t, model)
-        t_new = jnp.clip(uv[:, 1] / H, 0.0, 1.0)
-        t = (1.0 - damping) * t + damping * t_new
-    uv = camera.project(qa, ca, qb, cb, intr, X, t, model)
-    row_gap = jnp.abs(jnp.clip(uv[:, 1] / H, 0.0, 1.0) - t) * H
-    return t, row_gap
+    qa, ca = params.q[pa], params.c[pa]
+    qb, cb = params.q[pb], params.c[pb]
+    intr = params.intr[ii]
+    X = params.points[pi]
+    dtype = params.points.dtype
+    if model.rolling_shutter:
+        def body(_, t):
+            uv = camera.project(qa, ca, qb, cb, intr, X, t, model)
+            t_new = jnp.clip(uv[:, 1] / H, 0.0, 1.0)
+            return (1.0 - damping) * t + damping * t_new
+
+        t = jax.lax.fori_loop(0, iters, body,
+                              jnp.full(pi.shape, 0.5, dtype=dtype))
+        uv_t = camera.project(qa, ca, qb, cb, intr, X, t, model)
+        row_gap = jnp.abs(jnp.clip(uv_t[:, 1] / H, 0.0, 1.0) - t) * H
+    else:
+        t = jnp.zeros(pa.shape, dtype)
+        row_gap = jnp.zeros(pa.shape, dtype)
+    uv_clean = camera.project(qa, ca, qb, cb, intr, X, t, model)
+    depth = camera.depth_in_camera(qa, ca, qb, cb, X, t, model)
+    return t, row_gap, uv_clean, depth
 
 
 def _perturb(params: Params, rng: np.random.RandomState, rot_sigma: float,
@@ -222,18 +242,8 @@ def make_ba_problem(
     pi = jnp.asarray(point_idx)
 
     # --- observations: project GT (fixed-point row time for RS) ------------
-    if rolling_shutter:
-        t, row_gap = _rs_fixed_point_t(params_gt, pa, pb, ii, pi, model, H)
-    else:
-        t = jnp.zeros(pa.shape, dtype)
-        row_gap = jnp.zeros(pa.shape, dtype)
-    uv_clean = camera.project(params_gt.q[pa], params_gt.c[pa],
-                              params_gt.q[pb], params_gt.c[pb],
-                              params_gt.intr[ii], params_gt.points[pi],
-                              t, model)
-    depth = camera.depth_in_camera(params_gt.q[pa], params_gt.c[pa],
-                                   params_gt.q[pb], params_gt.c[pb],
-                                   params_gt.points[pi], t, model)
+    t, row_gap, uv_clean, depth = _observe_gt(params_gt, pa, pb, ii, pi,
+                                              model, H)
     uv_clean = np.asarray(uv_clean)
     valid = (np.asarray(depth) > 0.2) & np.isfinite(uv_clean).all(axis=1)
     valid &= ((uv_clean[:, 0] >= 0) & (uv_clean[:, 0] < W)
