@@ -65,7 +65,42 @@ def wall_to_convergence(summary) -> float:
     return wall
 
 
-def run(config_name: str, scale: float, dtype_name: str, opts):
+def calibrate_attempt_model(fns, params) -> dict:
+    """Measure the device loop's per-attempt wall model on this device.
+
+    The on-device LM loop returns one wall time per dispatch; uniform
+    per-record shares understate the early iterations (they do most of
+    the CG work).  Model: attempt_wall = t_fixed + t_cg_iter·cg_iters
+    (+ t_prepare when the step was accepted and re-prepared).  t_prepare
+    is timed directly; (t_fixed, t_cg_iter) come from timing the fused
+    try_step at two trust-region radii with different recorded CG
+    iteration counts (pipelined async timing, tunnel latency amortized —
+    utils/roofline._time_call).  run_blocks scales the weighted shares
+    so they still sum to the measured block wall.
+    """
+    import jax.numpy as jnp
+    from rsba_tpu.utils.roofline import _time_call
+
+    to_internal = fns.get("to_internal")
+    p = to_internal(params) if to_internal is not None else params
+    t_prep = _time_call(fns["prepare"], (p,), repeats=3)
+    aux = fns["prepare"](p)
+    dt = aux["cost"].dtype
+    pts = []
+    for radius in (1e4, 1e-2):
+        r = jnp.asarray(radius, dt)
+        li = int(fns["try_step"](p, aux, r)[5])
+        t = _time_call(fns["try_step"], (p, aux, r), repeats=3)
+        pts.append((li, t))
+    (li0, t0), (li1, t1) = pts
+    t_cg = max((t0 - t1) / (li0 - li1), 0.0) if li0 != li1 else 0.0
+    t_fixed = max(min(t0 - t_cg * li0, t1 - t_cg * li1), 1e-6)
+    return {"t_fixed": t_fixed, "t_cg_iter": t_cg, "t_prepare": t_prep,
+            "probe_cg_iters": [li0, li1]}
+
+
+def run(config_name: str, scale: float, dtype_name: str, opts,
+        calibrate: bool = True):
     import jax.numpy as jnp
     from rsba_tpu.problem import synthetic
     from rsba_tpu.solver import lm
@@ -76,8 +111,15 @@ def run(config_name: str, scale: float, dtype_name: str, opts):
     # compile cache for the timed solve.
     fns = lm.make_solver_fns(ba.problem, opts)
     _, s_warm = lm.solve(ba.problem, ba.params0, opts, fns=fns)
+    model = None
+    if calibrate and opts.device_loop != "off":
+        try:
+            model = fns["attempt_wall_model"] = calibrate_attempt_model(
+                fns, ba.params0)
+        except Exception:
+            model = None
     _, s = lm.solve(ba.problem, ba.params0, opts, fns=fns)
-    return ba, fns, s, s_warm
+    return ba, fns, s, model
 
 
 def main():
@@ -85,6 +127,13 @@ def main():
     config = os.environ.get("RSBA_BENCH_CONFIG", "rs_slerp_robust")
     cpu_mode = os.environ.get("RSBA_BENCH_CPU", "") == "1"
     key = f"{config}@{scale}"
+
+    if os.environ.get("JAX_PLATFORMS") == "axon" and not cpu_mode:
+        # Register the in-process cpu backend alongside the tunneled TPU:
+        # synthetic generation computes on it (device→host reads over the
+        # tunnel run at ~MB/s — synthetic._gen_compute_device).
+        import jax
+        jax.config.update("jax_platforms", "axon,cpu")
 
     if cpu_mode:
         import jax
@@ -145,7 +194,8 @@ def main():
                 }}))
             os._exit(3)
 
-    ba, fns, s, _ = run(config, scale, "f64" if cpu_mode else "f32", opts)
+    ba, fns, s, model = run(config, scale, "f64" if cpu_mode else "f32",
+                            opts)
     wall = wall_to_convergence(s)
     iters_per_sec = (len(s.iterations) / sum(i.wall_time
                                              for i in s.iterations))
@@ -188,6 +238,16 @@ def main():
         "cpu_baseline_final_rmse_px": (round(base_flat["final_rmse"], 4)
                                        if base_flat else None),
     }
+    if model is not None:
+        details["wall_attribution"] = {
+            "method": "per-record device-loop wall shares weighted by "
+                      "t_fixed + t_cg_iter*cg_iters + t_prepare*accepted "
+                      "(phases measured on this device, pipelined "
+                      "dispatch), normalized to the measured dispatch "
+                      "wall — not uniform block shares",
+            **{k: (round(v, 6) if isinstance(v, float) else v)
+               for k, v in model.items()},
+        }
     if base_same:
         details["vs_same_algorithm_cpu"] = round(
             base_same["wall_to_conv_s"] / wall, 3)
@@ -215,6 +275,35 @@ def main():
             mfu = rr["iteration"].get("mfu")
         except Exception as e:  # cost analysis unavailable on some PJRT
             details["roofline_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Scale story (BASELINE.json:5 scaling report): when running the
+    # default headline config at full scale, also solve config 5
+    # (10k cams / 1M pts / ~7M obs) single-chip and attach its numbers,
+    # so the driver artifact captures scaling, not only config 4.
+    if (config == "rs_slerp_robust" and scale == 1.0
+            and os.environ.get("RSBA_BENCH_SKIP_CONFIG5", "") != "1"):
+        try:
+            _, _, s5, _ = run("rs_mhost_pcg", 1.0, "f32", opts)
+            wall5 = wall_to_convergence(s5)
+            base5 = (baselines.get(f"rs_mhost_pcg@1.0:{s5.linear_solver}")
+                     or baselines.get("rs_mhost_pcg@1.0:iterative_schur"))
+            details["config5"] = {
+                "config": "rs_mhost_pcg@1.0 (10k cams / 1M pts)",
+                "wall_to_conv_s": round(wall5, 3),
+                "total_s": round(sum(i.wall_time for i in s5.iterations), 3),
+                "iters_per_sec": round(
+                    len(s5.iterations)
+                    / max(sum(i.wall_time for i in s5.iterations), 1e-9), 2),
+                "lm_iterations": len(s5.iterations),
+                "final_rmse_inlier_px": round(s5.final_rmse_inlier, 4),
+                "termination": s5.termination,
+                "engine": f"{s5.linear_solver}/{s5.evaluator}",
+            }
+            if base5:
+                details["config5"]["vs_cpu_baseline"] = round(
+                    base5["wall_to_conv_s"] / max(wall5, 1e-9), 1)
+        except Exception as e:
+            details["config5_error"] = f"{type(e).__name__}: {e}"[:200]
 
     details["baseline_caveat"] = (
         f"CPU baseline is this framework's own flat iterative-Schur on "

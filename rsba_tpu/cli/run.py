@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -116,6 +117,12 @@ def main(argv=None) -> int:
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif os.environ.get("JAX_PLATFORMS") == "axon":
+        # Keep the tunneled TPU the default device but register the
+        # in-process cpu backend too: synthetic generation computes on it
+        # (tunnel device→host reads run at ~MB/s — see
+        # problem/synthetic._gen_compute_device).
+        jax.config.update("jax_platforms", "axon,cpu")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.multihost:
@@ -190,7 +197,13 @@ def main(argv=None) -> int:
                         1 for it in history if it.accepted)
                     resume_summary.num_unsuccessful_steps = sum(
                         1 for it in history if not it.accepted)
-                    resume_summary.initial_cost = history[0].cost
+                    # True initial cost = cost BEFORE the first accepted
+                    # step (record.cost is the post-step cost; adding the
+                    # step's decrease reconstructs it — ADVICE r4: using
+                    # history[0].cost understated resumed runs' total
+                    # cost reduction).
+                    resume_summary.initial_cost = (
+                        history[0].cost + history[0].cost_change)
                 print(f"[rsba_tpu] resumed from checkpoint step {it0} "
                       f"(radius {radius:.3e}, "
                       f"{len(history)} prior iteration records)")

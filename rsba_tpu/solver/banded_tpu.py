@@ -236,22 +236,32 @@ def prepare(plan: WindowPlan, problem: Problem, options: SolverOptions,
         "cost": out["cost"], "g_cam": g_cam, "g_pt": g_pt, "c6": c6,
         "F": F, "B0": B0, "B1": B1, "s_cam": s_cam, "s_pt": s_pt,
         "gradient_max_norm": gmax,
-        # Per-slot robust costs from the kernel pass — the step attempt's
-        # pairwise-differenced cost decrease reuses them so it evaluates
-        # only the CANDIDATE residuals (one pass per attempt, not two).
-        "rho_old": out["rho"],
     }
 
 
-def cost_decrease_from_aux(plan: WindowPlan, problem: Problem, aux,
-                           cand: Params):
-    """Σ (ρ_old − ρ_new)/2 with ρ_old cached in aux (kernel layout
-    (NR, L, G)); ρ_new from one XLA residual pass on the candidate."""
-    r_new = banded.residuals_raw(_as_v1(cand, plan), plan, problem)
-    rho_new, _, _ = problem.loss.evaluate(jnp.sum(r_new * r_new, axis=-1))
-    rho_old = jnp.swapaxes(aux["rho_old"], 1, 2)         # → (NR, G, L)
-    return 0.5 * jnp.sum(
-        jnp.where(plan.mask > 0, rho_old - rho_new, 0.0))
+def rho_slots(plan: WindowPlan, problem: Problem, params: Params):
+    """Per-slot robust costs ρ (NR, G, L) from the XLA residual path.
+
+    The pairwise cost decrease must difference ρ values from the SAME
+    evaluator: the fused kernel's fast-math atan (exact=False on chip)
+    and the XLA path disagree by ~1e-6 relative per slot, the same order
+    as function_tolerance·cost near convergence — differencing across
+    evaluators can drive accept/terminate decisions (ADVICE r4).  The
+    device loop therefore seeds ρ_ref here once per dispatch and carries
+    the accepted candidate's ρ forward, so every decrease is XLA−XLA."""
+    r = banded.residuals_raw(_as_v1(params, plan), plan, problem)
+    rho, _, _ = problem.loss.evaluate(jnp.sum(r * r, axis=-1))
+    return rho
+
+
+def cost_decrease_pair(plan: WindowPlan, problem: Problem, rho_ref,
+                       cand: Params):
+    """(Σ (ρ_ref − ρ_new)/2, ρ_new) — one XLA residual pass on the
+    candidate; ρ_ref is the loop-carried ρ of the current params."""
+    rho_new = rho_slots(plan, problem, cand)
+    decrease = 0.5 * jnp.sum(
+        jnp.where(plan.mask > 0, rho_ref - rho_new, 0.0))
+    return decrease, rho_new
 
 
 # --- solve step --------------------------------------------------------------
@@ -361,8 +371,9 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
             b[0], b[1], params, dx),
         "cost_decrease": lambda b, po, pn: banded.cost_decrease(
             b[0], b[1], _as_v1(po, b[0]), _as_v1(pn, b[0])),
-        "cost_decrease_aux": lambda b, aux, pn: cost_decrease_from_aux(
-            b[0], b[1], aux, pn),
+        "rho_slots": lambda b, p: rho_slots(b[0], b[1], p),
+        "cost_decrease_pair": lambda b, rho_ref, pn: cost_decrease_pair(
+            b[0], b[1], rho_ref, pn),
     }
 
     return {
@@ -382,7 +393,6 @@ def make_tpu_solver_fns(problem: Problem, plan: WindowPlan,
             lambda pl_, pr_, a, b: banded.cost_decrease(
                 pl_, pr_, _as_v1(a, pl_), _as_v1(b, pl_)),
             plan, problem),
-        "cost_decrease_aux": _wrap(cost_decrease_from_aux, plan, problem),
         "error_stats": _wrap(
             lambda pl_, pr_, p: banded.error_stats(
                 pl_, pr_, _as_v1(p, pl_), thresh),

@@ -72,12 +72,12 @@ def attach_try_step(fns: dict, options: SolverOptions) -> dict:
     def try_step(params, aux, radius):
         dx, predicted, li = fns["solve_step"](aux, radius)
         cand, step_norm, x_norm = fns["apply_step"](params, dx)
-        if "cost_decrease_aux" in fns:
-            # aux caches the current per-slot robust costs: the pairwise
-            # decrease needs only the candidate's residual pass.
-            decrease = fns["cost_decrease_aux"](aux, cand)
-        else:
-            decrease = fns["cost_decrease"](params, cand)
+        # Both sides of the pairwise decrease come from the same XLA
+        # residual evaluator (never the fused kernel's fast-math pass —
+        # the ~1e-6 per-slot evaluator gap is ftol-order near
+        # convergence; the device loop instead carries the XLA ρ of the
+        # current params to keep one pass per attempt).
+        decrease = fns["cost_decrease"](params, cand)
         finite = jnp.array(True)
         for leaf in jax.tree.leaves(dx):
             finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(leaf)))

@@ -132,7 +132,13 @@ def ransac_pnp(
              jnp.zeros((M,), dtype))
     proj2 = camera.project(q_a, c_a, q_b, c_b, intr_j, pts_j, t_all, model)
     err2f = jnp.sum((proj2 - uv_j) ** 2, axis=-1)
-    inlier_mask = np.asarray(err2f <= inlier_threshold ** 2)
+    # Same gate as hypothesis scoring: reprojection AND cheirality — a
+    # point behind the camera whose (distorted) projection lands near uv
+    # must not count as an inlier (ADVICE r4).
+    depth_f = camera.depth_in_camera(q_a, c_a, q_b, c_b, pts_j, t_all,
+                                     model)
+    inlier_mask = np.asarray((err2f <= inlier_threshold ** 2)
+                             & (depth_f > 0))
     info["num_inliers"] = int(inlier_mask.sum())
     info["summary"] = summary
     return q_a, c_a, q_b, c_b, inlier_mask, info

@@ -91,12 +91,24 @@ def _time_call(call: Callable, args, repeats: int = 5,
     """
     jax.block_until_ready(call(*args))
     best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        outs = [call(*args) for _ in range(pipeline)]
-        jax.block_until_ready(outs)
-        best = min(best, (time.perf_counter() - t0) / pipeline)
-    return best
+    while True:
+        try:
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                outs = [call(*args) for _ in range(pipeline)]
+                jax.block_until_ready(outs)
+                best = min(best, (time.perf_counter() - t0) / pipeline)
+                del outs
+            return best
+        except jax.errors.JaxRuntimeError:
+            # Deep pipelines hold `pipeline` copies of the phase output
+            # alive at once — a memory-fat phase (e.g. dense_schur's aux)
+            # can exhaust HBM.  Halve the depth and retry; latency
+            # amortization degrades gracefully.
+            if pipeline <= 2:
+                raise
+            pipeline //= 2
+            best = float("inf")
 
 
 def phase_report(call: Callable, args, repeats: int = 5) -> dict:
