@@ -56,8 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--preconditioner",
                    choices=["jacobi", "schur_jacobi", "cluster_jacobi"],
                    default="schur_jacobi",
-                   help="PCG preconditioner; cluster_jacobi (16-pose "
-                        "segment blocks) applies to the banded solvers")
+                   help="PCG preconditioner; cluster_jacobi = "
+                        "visibility-clustered blocks (trajectory segments "
+                        "on the banded path, co-visibility camera "
+                        "clusters on the flat iterative_schur path)")
     p.add_argument("--trust-region-strategy", choices=["lm", "dogleg"],
                    default="lm",
                    help="dogleg (Ceres TRADITIONAL_DOGLEG) requires an "

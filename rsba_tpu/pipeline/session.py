@@ -66,7 +66,8 @@ class SfmSession:
                  inlier_threshold: float = 6.0,
                  loss: Loss = Loss("huber", 4.0),
                  options: Optional[SolverOptions] = None,
-                 dtype=jnp.float64, seed: int = 0):
+                 dtype=jnp.float64, seed: int = 0,
+                 shape_buckets: bool = False):
         self.intr = np.asarray(intr, np.float64)
         self.model = model
         self.image_size = tuple(image_size)
@@ -80,6 +81,12 @@ class SfmSession:
             linear_solver="auto", max_iterations=40)
         self.dtype = dtype
         self.seed = seed
+        # Bucket BA problem shapes (poses → ×8, points → ×256,
+        # observations → ×2048) so a growing session reuses the jit
+        # cache across bundle adjustments instead of recompiling per
+        # frame — essential on the TPU, where a fresh compile costs
+        # tens of seconds over the tunnel.
+        self.shape_buckets = shape_buckets
 
         self.q: List[np.ndarray] = []        # per-frame row-0 poses
         self.c: List[np.ndarray] = []
@@ -180,7 +187,10 @@ class SfmSession:
             self.q[fidx] = qs[i]
             self.c[fidx] = cs[i]
         if index.get("virtual"):
-            self.q_virtual, self.c_virtual = qs[-1], cs[-1]
+            # the virtual end pose sits right after the real frames
+            # (shape-bucketing may append dummy poses behind it)
+            vi = len(index["frames"])
+            self.q_virtual, self.c_virtual = qs[vi], cs[vi]
         pts = np.asarray(params.points)
         for i, tid in enumerate(index["tids"]):
             self.points[tid] = pts[i]
@@ -378,13 +388,17 @@ class SfmSession:
         if not cands:
             return 0
         L = max(self.tracks[t]["n_reg"] for t in cands)
+        n_c = len(cands)
+        if self.shape_buckets:
+            L = -(-L // 4) * 4
+            n_c = n_c + (-n_c % 256)
         F = self.n_frames
-        qa = np.zeros((len(cands), L, 4)); qa[..., 0] = 1.0
-        ca = np.zeros((len(cands), L, 3))
+        qa = np.zeros((n_c, L, 4)); qa[..., 0] = 1.0
+        ca = np.zeros((n_c, L, 3))
         qb = qa.copy(); cb = ca.copy()
-        uv = np.zeros((len(cands), L, 2))
-        tt = np.zeros((len(cands), L))
-        mask = np.zeros((len(cands), L))
+        uv = np.zeros((n_c, L, 2))
+        tt = np.zeros((n_c, L))
+        mask = np.zeros((n_c, L))
         for k, tid in enumerate(cands):
             tr = self.tracks[tid]
             j = 0
@@ -457,7 +471,7 @@ class SfmSession:
                     rows_t.append(np.clip(tr["rows"][i], 0, H) / H)
         rows_pt = np.searchsorted(tids_np, np.asarray(rows_tid, np.int64))
         N = len(rows_pa)
-        n_pad = -N % 64
+        n_pad = -N % (2048 if self.shape_buckets else 64)
         dt = self.dtype
 
         def pad(a, fill=0):
@@ -466,6 +480,12 @@ class SfmSession:
                 [a, np.full((n_pad,) + a.shape[1:], fill, a.dtype)])
 
         P = F + 1 if rs else F          # +1: virtual end pose (RS)
+        n_tid = len(tids)
+        # Shape buckets: dummy constant poses/points (never referenced by
+        # any observation) round the parameter counts up so the solver's
+        # jit cache is reused as the session grows.
+        P_pad = (-P % 8) if self.shape_buckets else 0
+        M_pad = (-n_tid % 256) if self.shape_buckets else 0
         obs = Observations(
             uv=jnp.asarray(pad(np.asarray(rows_uv, np.float64)), dt),
             t=jnp.asarray(pad(np.asarray(rows_t, np.float64)), dt),
@@ -474,7 +494,8 @@ class SfmSession:
             intr_idx=jnp.zeros((N + n_pad,), jnp.int32),
             point=jnp.asarray(pad(np.asarray(rows_pt, np.int32))),
             mask=jnp.asarray(pad(np.ones(N)), dt))
-        problem = make_problem(obs, P, len(tids), 1, self.model, self.loss,
+        problem = make_problem(obs, P + P_pad, n_tid + M_pad, 1,
+                               self.model, self.loss,
                                intr_basis=intr_basis_fixed(), dtype=dt)
         # Free masks: window frames free; gauge = the first registered
         # frame constant (6 dof).  The remaining scale freedom is left to
@@ -488,17 +509,19 @@ class SfmSession:
         pose_free[gauge] = 0.0
         if rs:      # virtual end pose follows the last frame's freedom
             pose_free = np.concatenate([pose_free, pose_free[-1:]])
-        pt_free = np.zeros(len(tids))
-        free_frames = set(np.nonzero(pose_free)[0].tolist())
+        if P_pad:
+            pose_free = np.concatenate([pose_free, np.zeros(P_pad)])
+        pt_free = np.zeros(n_tid + M_pad)
+        free_frames = np.nonzero(pose_free)[0]
         pa_np = np.asarray(rows_pa)
         pt_np = np.asarray(rows_pt)
         if window is None:
-            pt_free[:] = 1.0
+            pt_free[:n_tid] = 1.0
         else:
-            for fidx in free_frames:
-                pt_free[np.unique(pt_np[pa_np == fidx])] = 1.0
-            if not free_frames:       # all-fixed window → at least points
-                pt_free[:] = 1.0
+            sel = np.isin(pa_np, free_frames)
+            pt_free[np.unique(pt_np[sel])] = 1.0
+            if free_frames.size == 0:  # all-fixed window → at least points
+                pt_free[:n_tid] = 1.0
         problem = problem.replace(
             pose_free=jnp.asarray(pose_free, dt),
             point_free=jnp.asarray(pt_free, dt))
@@ -509,11 +532,17 @@ class SfmSession:
                          else self.q[-1])
             c_all.append(self.c_virtual if self.c_virtual is not None
                          else self.c[-1])
+        for _ in range(P_pad):
+            q_all.append(np.array([1.0, 0, 0, 0]))
+            c_all.append(np.zeros(3))
+        pts = np.stack([self.points[t] for t in tids]) if tids else \
+            np.zeros((0, 3))
+        if M_pad:
+            pts = np.concatenate([pts, np.ones((M_pad, 3))])
         params0 = Params(
             q=jnp.asarray(np.stack(q_all), dt),
             c=jnp.asarray(np.stack(c_all), dt),
             intr=jnp.asarray(self.intr[None, :], dt),
-            points=jnp.asarray(
-                np.stack([self.points[t] for t in tids]), dt))
+            points=jnp.asarray(pts, dt))
         return problem, params0, {"frames": list(range(F)), "tids": tids,
                                   "virtual": rs}

@@ -61,9 +61,19 @@ def make_dogleg_solver(problem: Problem, options: SolverOptions):
     from its radius-update rule (see lm.solve).
     """
     base = options.linear_solver
+    materialized_dense = False
     if base == "dense":
-        from .dense import make_dense_solver
+        from .dense import (make_dense_solver,
+                            _DENSE_MATERIALIZE_MAX_ELEMS)
         prepare_b, solve_b = make_dense_solver(problem, options)
+        shapes0 = _flat_parts(problem)
+        n_obs = int(problem.obs.uv.shape[0])
+        # make_dense_solver delegates large problems to point-block
+        # elimination (same exact step, schur-shaped aux) — use the
+        # matching closures below in that case.
+        materialized_dense = (2 * n_obs * shapes0.total_dim
+                              <= _DENSE_MATERIALIZE_MAX_ELEMS)
+    if materialized_dense:
 
         def gradient(aux):
             return aux["g"]
@@ -71,26 +81,29 @@ def make_dogleg_solver(problem: Problem, options: SolverOptions):
         def h_apply(aux, dx):
             return aux["H"] @ dx
 
-    elif base == "dense_schur":
+    elif base in ("dense", "dense_schur"):
         from .schur import (camera_entries, gn_hessian_apply,
                             make_dense_schur_solver)
-        prepare_b, solve_b = make_dense_schur_solver(problem, options)
+        if base == "dense_schur":
+            prepare_b, solve_b = make_dense_schur_solver(problem, options)
         shapes = _flat_parts(problem)
 
         def gradient(aux):
             # aux carries the SCALED gradient g̃ = D·g; unscale.
+            # (s_pt is stored flat (M·3,) — reshape to the block form.)
             g_cam = aux["g_cam"] / aux["s_cam"]
-            g_pt = aux["g_pt"] / aux["s_pt"]
+            g_pt = aux["g_pt"] / aux["s_pt"].reshape(-1, 3)
             return jnp.concatenate([g_cam, g_pt.reshape(-1)])
 
         def h_apply(aux, dx):
-            # H = D⁻¹ H̃ D⁻¹ with H̃ the scaled GN Hessian in aux["ev"].
-            s_cam, s_pt = aux["s_cam"], aux["s_pt"]
+            # H = D⁻¹ H̃ D⁻¹ with H̃ the scaled GN Hessian in aux["ev"]
+            # (applied through the factory's layout-matched closure).
+            s_cam = aux["s_cam"]
+            s_pt = aux["s_pt"].reshape(-1, 3)
             Dc = s_cam.shape[0]
             u_cam = dx[:Dc] / s_cam
             u_pt = dx[Dc:].reshape(-1, 3) / s_pt
-            hc, hp = gn_hessian_apply(aux["ev"], problem, shapes, u_cam,
-                                      u_pt)
+            hc, hp = prepare_b.hessian_apply(aux["ev"], u_cam, u_pt)
             return jnp.concatenate([hc / s_cam, (hp / s_pt).reshape(-1)])
 
     else:

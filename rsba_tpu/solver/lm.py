@@ -161,7 +161,14 @@ def make_solver_fns(problem: Problem, options: SolverOptions):
 def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
               engine):
     """Shared phase-fn dict for flat-layout engines (dense / dense_schur /
-    iterative_schur / dogleg): retraction, cost, stats — plus jit wrap."""
+    iterative_schur / dogleg): retraction, cost, stats — plus jit wrap.
+
+    Engines built on the column-planes path (solver/flatcols.py) attach
+    gather-free cost/decrease/stat closures as ``prepare.extras``; they
+    replace the residuals.py forms (same math, no observation gathers)
+    and give the device loop a one-pass evaluator-consistent decrease.
+    """
+    extras = getattr(prepare, "extras", None)
 
     def apply_step(params: Params, dx: jax.Array):
         shapes = assembly.tangent_shapes(problem, params)
@@ -175,12 +182,18 @@ def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
         return new_params, step_norm, x_norm
 
     def cost_fn(params: Params):
+        if extras is not None:
+            return extras["cost"](params)
         return residuals.cost_only(params, problem)
 
     def cost_decrease_fn(p_old: Params, p_new: Params):
+        if extras is not None:
+            return extras["cost_decrease"](p_old, p_new)
         return residuals.cost_decrease(p_old, p_new, problem)
 
     def error_stats(params: Params):
+        if extras is not None:
+            return extras["error_stats"](params, inlier_threshold(problem))
         return residuals.error_stats(params, problem,
                                      inlier_threshold(problem))
 
@@ -218,6 +231,12 @@ def _flat_fns(problem: Problem, options: SolverOptions, prepare, solve_step,
             "apply_step": lambda b, p, dx: apply_step(p, dx),
             "cost_decrease": lambda b, a, c: cost_decrease_fn(a, c),
         }
+        if extras is not None:
+            fns["raw"]["rho_slots"] = (
+                lambda b, p: extras["rho_slots"](p))
+            fns["raw"]["cost_decrease_pair"] = (
+                lambda b, rho_ref, c: extras["cost_decrease_pair"](rho_ref,
+                                                                   c))
     return fns
 
 

@@ -40,11 +40,12 @@ class SolverOptions:
     # flat iterative_schur and banded solvers ("jacobi" on the banded
     # path aliases schur_jacobi: the band's d=0 diagonal blocks ARE the
     # Schur-Jacobi blocks).  "cluster_jacobi" — the visibility-clustered
-    # tier (Ceres CLUSTER_JACOBI analogue: on a video trajectory the
-    # camera clusters ARE contiguous pose segments) — factors contiguous
-    # 16-pose segments of the band dense, dropping only cross-boundary
-    # coupling (block-diagonal by segment, hence the -jacobi name);
-    # banded solvers only.
+    # tier (Ceres CLUSTER_JACOBI analogue) — has two implementations:
+    # on the banded video path, contiguous 16-pose segments of the band
+    # factored dense (the trajectory IS the co-visibility structure); on
+    # the flat iterative_schur path, greedy co-visibility agglomeration
+    # of the camera graph with per-cluster dense blocks of S
+    # (solver/cluster.py — unordered/BAL-style problems).
     preconditioner: str = "schur_jacobi"
     min_lm_diagonal: float = 1e-6
     max_lm_diagonal: float = 1e32

@@ -32,20 +32,28 @@ import jax
 import jax.numpy as jnp
 
 from ..problem.types import POSE_DOF, Params, Problem
-from . import assembly, residuals
+from . import assembly, flatplan, residuals
 from .options import SolverOptions
 from .residuals import Evaluation
 from .schur import (camera_entries, camera_gradient, camera_jtj_diag,
-                    invert_3x3_psd, _lm_scaled_damp, scale_evaluation)
+                    gradient_blocks_planned, invert_3x3_psd,
+                    jtj_diag_planned, _lm_scaled_damp, scale_evaluation)
 
 
 class SchurFreeOperator(NamedTuple):
-    """Matrix-free damped reduced camera system S_λ = B_λ − E C_λ⁻¹ Eᵀ."""
+    """Matrix-free damped reduced camera system S_λ = B_λ − E C_λ⁻¹ Eᵀ.
+
+    ``plans`` (solver/flatplan.py) replaces the duplicate-index
+    scatter/segment_sum reductions with gather + dense slot-sum — the
+    TPU hot path; plans=None keeps the legacy scatter forms (the sharded
+    solver's per-shard kernels build their own reductions).
+    """
     ev: Evaluation
     problem: Problem
     shapes: assembly.TangentShapes
     lm_cam: jax.Array      # (Dc,) LM diagonal for the camera block
     C_inv: jax.Array       # (M,3,3) damped point-block inverses
+    plans: object = None   # Optional[flatplan.FlatPlans]
 
     def _jcam_apply(self, p: jax.Array) -> jax.Array:
         """u = J_cam · p over all observations → (N, 2)."""
@@ -57,19 +65,39 @@ class SchurFreeOperator(NamedTuple):
         return u
 
     def _jcam_transpose_apply(self, u: jax.Array) -> jax.Array:
-        """J_camᵀ · u scattered into the camera tangent vector → (Dc,)."""
+        """J_camᵀ · u reduced into the camera tangent vector → (Dc,)."""
+        if self.plans is not None:
+            from .schur import _grad_cols
+            pl = self.plans
+            ev = self.ev
+            Hx_pose = pl.pose_a.reduce_cols(
+                _grad_cols(ev.J_pose[:, :, 0, :], u))
+            if pl.pose_b is not None:
+                Hx_pose = Hx_pose + pl.pose_b.reduce_cols(
+                    _grad_cols(ev.J_pose[:, :, 1, :], u))
+            parts = [Hx_pose.reshape(-1)]
+            if self.shapes.ni > 0:
+                parts.append(pl.intr.reduce_cols(
+                    _grad_cols(ev.J_intr, u)).reshape(-1))
+            return (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
         out = jnp.zeros((self.shapes.cam_dim,), u.dtype)
         for e in camera_entries(self.ev, self.problem, self.shapes):
             cols = e.base[:, None] + jnp.arange(e.width)[None, :]
             out = out.at[cols].add(jnp.einsum("nrw,nr->nw", e.J, u))
         return out
 
-    def et_apply(self, p: jax.Array) -> jax.Array:
-        """Eᵀ·p = Σ_obs J_ptᵀ (J_cam p) per point → (M, 3)."""
-        u = self._jcam_apply(p)
+    def _pt_reduce(self, u: jax.Array) -> jax.Array:
+        """Σ_obs J_ptᵀ u per point → (M, 3)."""
+        if self.plans is not None:
+            from .schur import _grad_cols
+            return self.plans.point.reduce_cols(_grad_cols(self.ev.J_pt, u))
         return jax.ops.segment_sum(
             jnp.einsum("nrd,nr->nd", self.ev.J_pt, u),
             self.problem.obs.point, num_segments=self.shapes.n_points)
+
+    def et_apply(self, p: jax.Array) -> jax.Array:
+        """Eᵀ·p = Σ_obs J_ptᵀ (J_cam p) per point → (M, 3)."""
+        return self._pt_reduce(self._jcam_apply(p))
 
     def e_apply(self, y: jax.Array) -> jax.Array:
         """E·y = J_camᵀ (J_pt · y[point]) → (Dc,)."""
@@ -81,9 +109,7 @@ class SchurFreeOperator(NamedTuple):
         """q = S_λ · p (one fused pass: shares the J_cam·p product)."""
         u = self._jcam_apply(p)
         Bp = self._jcam_transpose_apply(u) + self.lm_cam * p
-        w = jax.ops.segment_sum(
-            jnp.einsum("nrd,nr->nd", self.ev.J_pt, u),
-            self.problem.obs.point, num_segments=self.shapes.n_points)
+        w = self._pt_reduce(u)
         y = jnp.einsum("mab,mb->ma", self.C_inv, w)
         return Bp - self.e_apply(y)
 
@@ -96,7 +122,8 @@ class SchurFreeOperator(NamedTuple):
 # --- Schur-Jacobi preconditioner --------------------------------------------
 
 def schur_jacobi_partial(ev: Evaluation, problem: Problem,
-                         shapes: assembly.TangentShapes, C_inv: jax.Array):
+                         shapes: assembly.TangentShapes, C_inv: jax.Array,
+                         plans=None):
     """Block diagonal of S (undamped): per-pose (P,6,6), per-intr (K,ni,ni).
 
     Exact B diagonal blocks; the E C⁻¹ Eᵀ part is accumulated per
@@ -108,6 +135,44 @@ def schur_jacobi_partial(ev: Evaluation, problem: Problem,
     obs = problem.obs
     pt = obs.point
     P, ni, K = shapes.n_poses, shapes.ni, shapes.n_intr
+
+    if plans is not None:
+        # Column-component form (see schur._col_products layout note):
+        # C⁻¹ gathered per obs as 6 symmetric (N,) columns, F = J_camᵀJ_pt
+        # as w·3 columns, every (w, v) output component an unrolled
+        # elementwise chain — no tiny-minor block tensors.
+        sym = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (0, 2): 2, (2, 0): 2,
+               (1, 1): 3, (1, 2): 4, (2, 1): 4, (2, 2): 5}
+        ci_flat = C_inv.reshape(C_inv.shape[0], 9)
+        ci_cols = [ci_flat[:, 3 * p + q][pt]
+                   for (p, q) in [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2),
+                                  (2, 2)]]
+        Jp = ev.J_pt
+
+        def block_planned(J, plan):
+            w_dim = J.shape[2]
+            nr = J.shape[1]
+            f = [[sum(J[:, r, w] * Jp[:, r, p] for r in range(nr))
+                  for p in range(3)] for w in range(w_dim)]
+            comps = []
+            for w in range(w_dim):
+                for v in range(w_dim):
+                    bb = sum(J[:, r, w] * J[:, r, v] for r in range(nr))
+                    fcf = sum(f[w][p] * ci_cols[sym[(p, q)]] * f[v][q]
+                              for p in range(3) for q in range(3))
+                    comps.append(bb - fcf)
+            out = plan.reduce_cols(jnp.stack(comps, axis=0))
+            return out.reshape(-1, w_dim, w_dim)
+
+        D_pose = block_planned(ev.J_pose[:, :, 0, :], plans.pose_a)
+        if problem.model.rolling_shutter:
+            D_pose = D_pose + block_planned(ev.J_pose[:, :, 1, :],
+                                            plans.pose_b)
+        if ni > 0:
+            D_intr = block_planned(ev.J_intr, plans.intr)
+        else:
+            D_intr = jnp.zeros((K, 0, 0), ev.r.dtype)
+        return D_pose, D_intr
 
     def pose_block(J, idx):
         bb = jnp.einsum("nri,nrk->nik", J, J)
@@ -123,7 +188,8 @@ def schur_jacobi_partial(ev: Evaluation, problem: Problem,
         bb = jnp.einsum("nri,nrk->nik", ev.J_intr, ev.J_intr)
         f = jnp.einsum("nrw,nrp->nwp", ev.J_intr, ev.J_pt)
         fcf = jnp.einsum("nwp,npq,nvq->nwv", f, C_inv[pt], f)
-        D_intr = jax.ops.segment_sum(bb - fcf, obs.intr_idx, num_segments=K)
+        D_intr = jax.ops.segment_sum(bb - fcf, obs.intr_idx,
+                                     num_segments=K)
     else:
         D_intr = jnp.zeros((K, 0, 0), ev.r.dtype)
     return D_pose, D_intr
@@ -143,9 +209,9 @@ def add_lm_diag(D_pose: jax.Array, D_intr: jax.Array, lm_cam: jax.Array,
 
 def schur_jacobi_blocks(ev: Evaluation, problem: Problem,
                         shapes: assembly.TangentShapes, lm_cam: jax.Array,
-                        C_inv: jax.Array):
+                        C_inv: jax.Array, plans=None):
     """Damped block diagonal of S_λ (single-device path)."""
-    D_pose, D_intr = schur_jacobi_partial(ev, problem, shapes, C_inv)
+    D_pose, D_intr = schur_jacobi_partial(ev, problem, shapes, C_inv, plans)
     return add_lm_diag(D_pose, D_intr, lm_cam, shapes)
 
 
@@ -215,24 +281,43 @@ def pcg(matvec, precond, b: jax.Array, max_iterations: int, eta: float):
 # --- LM-driver plug-in -------------------------------------------------------
 
 def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
-    """(prepare, solve_step) for the LM driver — ITERATIVE_SCHUR equivalent."""
-    if options.preconditioner == "cluster_jacobi":
-        raise ValueError(
-            "preconditioner='cluster_jacobi' requires the banded window "
-            "solver (contiguous pose segments of the band); the flat "
-            "iterative_schur solver supports 'jacobi'/'schur_jacobi'")
+    """(prepare, solve_step) for the LM driver — ITERATIVE_SCHUR equivalent.
 
+    preconditioner="cluster_jacobi" enables the visibility-clustered
+    tier (solver/cluster.py — Ceres CLUSTER_JACOBI parity for unordered
+    problems): camera clusters from greedy co-visibility agglomeration,
+    per-cluster dense blocks of S factored batched.  (On RS problems the
+    cluster coupling is built from the pose_a Jacobian side only — an
+    approximation that stays a valid SPD preconditioner; RS video
+    problems normally route to the banded engine's segment tier.)
+    """
     def _static_shapes():
         return assembly.TangentShapes(
             problem.pose_free.shape[0], problem.intr_free.shape[0],
             problem.intr_tangent_dim, problem.point_free.shape[0])
 
-    def prepare(params: Params):
-        ev = residuals.evaluate(params, problem, with_jacobians=True)
-        shapes = _static_shapes()
+    from . import flatcols
+    # Cols path: pre-permuted observation axis, one-hot matmul fetches —
+    # no observation-sized gathers (see flatcols module docstring).  The
+    # cluster_jacobi preconditioner assembles from the legacy Evaluation
+    # layout, so it keeps the legacy path.
+    cplan = None
+    if options.preconditioner != "cluster_jacobi":
+        try:
+            cplan = flatcols.build_cols_plan(problem, problem.obs.uv.dtype)
+        except ValueError:
+            cplan = None
+    plans = None
+    cluster_plan = None
+    if cplan is None:
+        plans = flatplan.build_flat_plans(problem,
+                                          problem.intr_tangent_dim)
+        if options.preconditioner == "cluster_jacobi":
+            from . import cluster as cluster_mod
+            cluster_plan = cluster_mod.build_cluster_plan(problem,
+                                                          plans.point)
 
-        d_cam = camera_jtj_diag(ev, problem, shapes)
-        C_diag = assembly.jtj_diagonal_blocks(ev, problem, shapes)[2]
+    def _scaling(d_cam, C_diag):
         if options.jacobi_scaling:
             s_cam = jnp.where(
                 d_cam > 0, 1.0 / (1.0 + jnp.sqrt(jnp.maximum(d_cam, 0.0))),
@@ -243,12 +328,10 @@ def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
         else:
             s_cam = jnp.ones_like(d_cam)
             s_pt = jnp.ones_like(C_diag)
-        ev = scale_evaluation(ev, problem, shapes, s_cam, s_pt)
+        return s_cam, s_pt
 
-        g_cam = camera_gradient(ev, problem, shapes)
-        _, _, g_pt = assembly.gradient_blocks(ev, problem, shapes)
-        C = assembly.point_hessian_blocks(ev, problem, shapes)
-        d_cam_s = camera_jtj_diag(ev, problem, shapes)
+    def _aux(ev, g_pose, g_intr, g_pt, C, d_cam_s, s_cam, s_pt):
+        g_cam = jnp.concatenate([g_pose.reshape(-1), g_intr.reshape(-1)])
         gmax = jnp.maximum(
             jnp.max(jnp.abs(g_cam / jnp.where(s_cam == 0, 1.0, s_cam))),
             jnp.max(jnp.abs(g_pt / jnp.where(s_pt == 0, 1.0, s_pt))))
@@ -257,6 +340,32 @@ def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
             "C": C, "d_cam": d_cam_s, "s_cam": s_cam, "s_pt": s_pt,
             "gradient_max_norm": gmax,
         }
+
+    def prepare_cols(params: Params):
+        ev = flatcols.evaluate_cols(params, problem, cplan)
+        d_cam, C_diag = flatcols.jtj_diag_cols(ev, cplan)
+        s_cam, s_pt = _scaling(d_cam, C_diag)
+        ev = flatcols.scale_cols(ev, cplan, s_cam, s_pt)
+        g_pose, g_intr, g_pt = flatcols.gradient_cols(ev, cplan)
+        C = flatcols.point_hessian_cols(ev, cplan)
+        d_cam_s = flatcols.jtj_diag_cols(ev, cplan)[0]
+        return _aux(ev, g_pose, g_intr, g_pt, C, d_cam_s, s_cam, s_pt)
+
+    def prepare_legacy(params: Params):
+        ev = residuals.evaluate(params, problem, with_jacobians=True)
+        shapes = _static_shapes()
+        d_cam, C_diag = jtj_diag_planned(ev, problem, shapes, plans)
+        s_cam, s_pt = _scaling(d_cam, C_diag)
+        ev = scale_evaluation(ev, problem, shapes, s_cam,
+                              s_pt.reshape(-1))
+        g_pose, g_intr, g_pt = gradient_blocks_planned(ev, problem,
+                                                       shapes, plans)
+        from .schur import point_hessian_planned
+        C = point_hessian_planned(ev, plans)
+        d_cam_s = jtj_diag_planned(ev, problem, shapes, plans)[0]
+        return _aux(ev, g_pose, g_intr, g_pt, C, d_cam_s, s_cam, s_pt)
+
+    prepare = prepare_cols if cplan is not None else prepare_legacy
 
     def solve_step(aux, radius):
         ev = aux["ev"]
@@ -271,22 +380,50 @@ def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
         C_l = C + jax.vmap(jnp.diag)(lm_pt_b)
         C_inv = invert_3x3_psd(C_l)
 
-        op = SchurFreeOperator(ev=ev, problem=problem, shapes=shapes,
-                               lm_cam=lm_cam, C_inv=C_inv)
+        if cplan is not None:
+            def e_apply(y):
+                return flatcols.jcam_t_apply_cols(
+                    ev, cplan, flatcols.jpt_apply_cols(ev, cplan, y))
+
+            def matvec(p):
+                u = flatcols.jcam_apply_cols(ev, cplan, p)
+                Bp = flatcols.jcam_t_apply_cols(ev, cplan, u) + lm_cam * p
+                w = flatcols.jpt_t_apply_cols(ev, cplan, u)
+                y = jnp.einsum("mab,mb->ma", C_inv, w)
+                return Bp - e_apply(y)
+
+            def back_substitute(dc, g_pt):
+                u = flatcols.jcam_apply_cols(ev, cplan, dc)
+                w = -g_pt - flatcols.jpt_t_apply_cols(ev, cplan, u)
+                return jnp.einsum("mab,mb->ma", C_inv, w)
+
+            D_pose, D_intr = flatcols.schur_jacobi_cols(ev, cplan, C_inv)
+            D_pose, D_intr = add_lm_diag(D_pose, D_intr, lm_cam, shapes)
+        else:
+            op = SchurFreeOperator(ev=ev, problem=problem, shapes=shapes,
+                                   lm_cam=lm_cam, C_inv=C_inv, plans=plans)
+            e_apply = op.e_apply
+            matvec = op.matvec
+            back_substitute = op.back_substitute
+            D_pose, D_intr = schur_jacobi_blocks(ev, problem, shapes,
+                                                 lm_cam, C_inv, plans)
 
         # Reduced rhs: b = −g_cam − E C_λ⁻¹ (−g_pt).
         y0 = jnp.einsum("mab,mb->ma", C_inv, -g_pt)
-        b = -g_cam - op.e_apply(y0)
+        b = -g_cam - e_apply(y0)
 
-        D_pose, D_intr = schur_jacobi_blocks(ev, problem, shapes, lm_cam,
-                                             C_inv)
-        precond = (make_block_preconditioner(D_pose, D_intr, shapes)
-                   if options.preconditioner == "schur_jacobi"
-                   else partial(_jacobi_apply, D_pose, D_intr, shapes))
+        if cluster_plan is not None:
+            from . import cluster as cluster_mod
+            precond = cluster_mod.make_cluster_preconditioner(
+                cluster_plan, D_pose, D_intr, shapes, ev, problem, C_inv)
+        elif options.preconditioner == "schur_jacobi":
+            precond = make_block_preconditioner(D_pose, D_intr, shapes)
+        else:
+            precond = partial(_jacobi_apply, D_pose, D_intr, shapes)
 
-        dc, r_cg, iters = pcg(op.matvec, precond, b,
+        dc, r_cg, iters = pcg(matvec, precond, b,
                               options.max_cg_iterations, options.cg_eta)
-        dp = op.back_substitute(dc, g_pt)
+        dp = back_substitute(dc, g_pt)
 
         # Predicted decrease: the cancellation-free exact-solve identity
         # ½(δᵀλD²δ − gᵀδ) corrected by the CG residual: the full damped
@@ -301,6 +438,8 @@ def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
         dx = jnp.concatenate([dx_cam_u, dx_pt_u.reshape(-1)])
         return dx, predicted, iters
 
+    if cplan is not None:
+        prepare.extras = flatcols.make_extras(problem, cplan)
     return prepare, solve_step
 
 

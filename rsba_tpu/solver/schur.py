@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..problem.types import POSE_DOF, Params, Problem
-from . import assembly, residuals
+from . import assembly, flatplan, residuals
 from .options import SolverOptions
 from .residuals import Evaluation
 
@@ -113,6 +113,174 @@ def assemble_E_dense(ev: Evaluation, problem: Problem,
     return A
 
 
+# --- plan-based assembly (the TPU hot path) ---------------------------------
+#
+# The legacy assemblers above scatter per-observation blocks with
+# duplicate indices — serialized on TPU (338 ms for B, 157 ms for E at
+# config-2 scale).  These variants reduce via host-built groupings
+# (solver/flatplan.py): gather → dense slot-sum → near-unique row fold,
+# plus a one-hot MXU matmul for E's per-camera column placement.  Same
+# math, different summation order (f32-rounding-level differences only);
+# the legacy forms remain the cross-check oracles and the sharded
+# solver's per-shard kernels.
+
+def _col_products(Ji: jax.Array, Jk: jax.Array) -> jax.Array:
+    """All (i, k) column products Σ_r Ji[:, r, i]·Jk[:, r, k] → (wi·wk, N).
+
+    TPU layout rule (same as kernels/fused.py's planes layout): keep the
+    observation axis N on the minor/lane dimension and unroll the tiny
+    block dims in Python — (N, w, w) block tensors put two tiny dims
+    minor, which XLA pads to (8, 128) tiles (measured 13 GB of temp for
+    one einsum→gather chain at config-2 scale).
+    """
+    wi, wk = Ji.shape[2], Jk.shape[2]
+    return jnp.stack(
+        [sum(Ji[:, r, i] * Jk[:, r, k] for r in range(Ji.shape[1]))
+         for i in range(wi) for k in range(wk)], axis=0)
+
+
+def _grad_cols(J: jax.Array, r: jax.Array) -> jax.Array:
+    """Σ_s J[:, s, i]·r[:, s] for all i → (w, N)."""
+    return jnp.stack(
+        [sum(J[:, s, i] * r[:, s] for s in range(J.shape[1]))
+         for i in range(J.shape[2])], axis=0)
+
+
+def gradient_blocks_planned(ev: Evaluation, problem: Problem,
+                            shapes: assembly.TangentShapes,
+                            plans: flatplan.FlatPlans):
+    """g per block via plans: (P,6), (K,ni), (M,3)."""
+    g_pose = plans.pose_a.reduce_cols(
+        _grad_cols(ev.J_pose[:, :, 0, :], ev.r))
+    if plans.pose_b is not None:
+        g_pose = g_pose + plans.pose_b.reduce_cols(
+            _grad_cols(ev.J_pose[:, :, 1, :], ev.r))
+    if shapes.ni > 0:
+        g_intr = plans.intr.reduce_cols(_grad_cols(ev.J_intr, ev.r))
+    else:
+        g_intr = jnp.zeros((shapes.n_intr, 0), ev.r.dtype)
+    g_pt = plans.point.reduce_cols(_grad_cols(ev.J_pt, ev.r))
+    return g_pose, g_intr, g_pt
+
+
+def jtj_diag_planned(ev: Evaluation, problem: Problem,
+                     shapes: assembly.TangentShapes,
+                     plans: flatplan.FlatPlans):
+    """diag(J̃ᵀJ̃): camera part flattened (Dc,), point part (M,3)."""
+
+    def sq_cols(J):
+        return jnp.stack(
+            [sum(J[:, s, i] ** 2 for s in range(J.shape[1]))
+             for i in range(J.shape[2])], axis=0)
+
+    d_pose = plans.pose_a.reduce_cols(sq_cols(ev.J_pose[:, :, 0, :]))
+    if plans.pose_b is not None:
+        d_pose = d_pose + plans.pose_b.reduce_cols(
+            sq_cols(ev.J_pose[:, :, 1, :]))
+    parts = [d_pose.reshape(-1)]
+    if shapes.ni > 0:
+        parts.append(plans.intr.reduce_cols(
+            sq_cols(ev.J_intr)).reshape(-1))
+    d_cam = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    d_pt = plans.point.reduce_cols(sq_cols(ev.J_pt))
+    return d_cam, d_pt
+
+
+#: symmetric 3×3 component order (point Hessian blocks)
+_SYM3 = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+
+
+def point_hessian_planned(ev: Evaluation, plans: flatplan.FlatPlans):
+    """C (M, 3, 3) via symmetric column components."""
+    Jp = ev.J_pt
+    comps = jnp.stack(
+        [sum(Jp[:, r, d] * Jp[:, r, e] for r in range(Jp.shape[1]))
+         for (d, e) in _SYM3], axis=0)
+    c6 = plans.point.reduce_cols(comps)              # (M, 6)
+    a, b, c, d, e, f = (c6[:, i] for i in range(6))
+    row0 = jnp.stack([a, b, c], axis=-1)
+    row1 = jnp.stack([b, d, e], axis=-1)
+    row2 = jnp.stack([c, e, f], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def assemble_B_planned(ev: Evaluation, problem: Problem,
+                       shapes: assembly.TangentShapes,
+                       plans: flatplan.FlatPlans) -> jax.Array:
+    """Dense camera-camera block B (Dc, Dc) with unique-index placement."""
+    Dc = shapes.cam_dim
+    p6 = shapes.n_poses * POSE_DOF
+    ni = shapes.ni
+    rs = plans.pose_b is not None
+    Ja = ev.J_pose[:, :, 0, :]
+    B = jnp.zeros((Dc, Dc), ev.r.dtype)
+
+    def blocks(plan, Ji, Jk):
+        wi, wk = Ji.shape[2], Jk.shape[2]
+        return plan.reduce_cols(_col_products(Ji, Jk)).reshape(-1, wi, wk)
+
+    B = flatplan.place_diag_blocks(
+        B, blocks(plans.pose_a, Ja, Ja), 0, POSE_DOF)
+    if rs:
+        Jb = ev.J_pose[:, :, 1, :]
+        B = flatplan.place_diag_blocks(
+            B, blocks(plans.pose_b, Jb, Jb), 0, POSE_DOF)
+        B = flatplan.place_pair_blocks(
+            B, plans.ab, blocks(plans.ab.group, Ja, Jb),
+            0, POSE_DOF, 0, POSE_DOF)
+    if ni > 0:
+        Ji = ev.J_intr
+        B = flatplan.place_diag_blocks(
+            B, blocks(plans.intr, Ji, Ji), p6, ni)
+        B = flatplan.place_pair_blocks(
+            B, plans.ai, blocks(plans.ai.group, Ja, Ji),
+            0, POSE_DOF, p6, ni)
+        if rs:
+            B = flatplan.place_pair_blocks(
+                B, plans.bi, blocks(plans.bi.group, Jb, Ji),
+                0, POSE_DOF, p6, ni)
+    return B
+
+
+def assemble_E_planned(ev: Evaluation, problem: Problem,
+                       shapes: assembly.TangentShapes,
+                       plans: flatplan.FlatPlans) -> jax.Array:
+    """Eᵀ per point, A (M, 3, Dc) — one-hot MXU placement, no scatter.
+
+    Column components (x·w, N) → point-slot layout (C, L, R) → one
+    batched contraction against the per-slot camera one-hot → fold.
+    """
+    M = shapes.n_points
+    pp = plans.point
+
+    def entry_part(J, slot_ids, n_e):
+        w = J.shape[2]
+        comps = _col_products(ev.J_pt, J)            # (3w, N)
+        g = pp.gather_cols(comps)                    # (3w, L, R)
+        oh = jax.nn.one_hot(slot_ids.T, n_e, dtype=comps.dtype)  # (L,R,E)
+        out = jnp.einsum("clr,lre->rce", g, oh)      # (R, 3w, E)
+        folded = pp.fold_rows(out)                   # (M, 3w, E)
+        part = folded.reshape(M, 3, w, n_e).transpose(0, 1, 3, 2)
+        return part.reshape(M, 3, n_e * w)
+
+    A = entry_part(ev.J_pose[:, :, 0, :], plans.pt_pose_a, shapes.n_poses)
+    if plans.pose_b is not None:
+        A = A + entry_part(ev.J_pose[:, :, 1, :], plans.pt_pose_b,
+                           shapes.n_poses)
+    if shapes.ni > 0:
+        A = jnp.concatenate(
+            [A, entry_part(ev.J_intr, plans.pt_intr, shapes.n_intr)],
+            axis=2)
+    return A
+
+
+def _use_planned_E(shapes: assembly.TangentShapes,
+                   plans: flatplan.FlatPlans) -> bool:
+    n_e = max(shapes.n_poses, shapes.n_intr)
+    return (plans.point.R * plans.point.L * n_e
+            <= flatplan.ONEHOT_MAX_ELEMS)
+
+
 def invert_3x3_psd(C: jax.Array) -> jax.Array:
     """Batched closed-form inverse of symmetric PD 3×3 blocks (…,3,3)."""
     a, b, c = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
@@ -180,6 +348,35 @@ def gn_hessian_apply(ev: Evaluation, problem: Problem,
     return Hx_cam, Hx_pt
 
 
+def gn_hessian_apply_planned(ev: Evaluation, problem: Problem,
+                             shapes: assembly.TangentShapes,
+                             plans: flatplan.FlatPlans, dx_cam: jax.Array,
+                             dx_pt: jax.Array):
+    """Matrix-free J̃ᵀ(J̃·dx) via plans (no duplicate-index scatters)."""
+    obs = problem.obs
+    p6 = shapes.n_poses * POSE_DOF
+    dxp = dx_cam[:p6].reshape(shapes.n_poses, POSE_DOF)
+    Ja = ev.J_pose[:, :, 0, :]
+    u = jnp.einsum("nrp,np->nr", ev.J_pt, dx_pt[obs.point])
+    u = u + jnp.einsum("nrw,nw->nr", Ja, dxp[obs.pose_a])
+    if plans.pose_b is not None:
+        Jb = ev.J_pose[:, :, 1, :]
+        u = u + jnp.einsum("nrw,nw->nr", Jb, dxp[obs.pose_b])
+    if shapes.ni > 0:
+        dxi = dx_cam[p6:].reshape(shapes.n_intr, shapes.ni)
+        u = u + jnp.einsum("nrw,nw->nr", ev.J_intr, dxi[obs.intr_idx])
+    Hx_pose = plans.pose_a.reduce_cols(_grad_cols(Ja, u))
+    if plans.pose_b is not None:
+        Hx_pose = Hx_pose + plans.pose_b.reduce_cols(_grad_cols(Jb, u))
+    parts = [Hx_pose.reshape(-1)]
+    if shapes.ni > 0:
+        parts.append(plans.intr.reduce_cols(
+            _grad_cols(ev.J_intr, u)).reshape(-1))
+    Hx_cam = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    Hx_pt = plans.point.reduce_cols(_grad_cols(ev.J_pt, u))
+    return Hx_cam, Hx_pt
+
+
 def _lm_scaled_damp(diag: jax.Array, radius, options: SolverOptions):
     """Ceres LM diagonal: clamp(diag)/radius, dead dims pinned to 1."""
     dead = diag <= 0.0
@@ -214,13 +411,23 @@ def make_dense_schur_solver(problem: Problem, options: SolverOptions):
             f"linear_solver='iterative_schur' (matrix-free PCG) or 'auto' "
             f"for problems this size")
 
-    def prepare(params: Params):
-        ev = residuals.evaluate(params, problem, with_jacobians=True)
-        shapes = assembly.tangent_shapes(problem, params)
+    def _static_shapes():
+        return assembly.TangentShapes(
+            problem.pose_free.shape[0], problem.intr_free.shape[0],
+            problem.intr_tangent_dim, problem.point_free.shape[0])
 
-        # Jacobi column scaling (Ceres scales J once per evaluation).
-        d_cam = camera_jtj_diag(ev, problem, shapes)
-        C_diag_blocks = assembly.jtj_diagonal_blocks(ev, problem, shapes)[2]
+    from . import flatcols
+    try:
+        cplan = flatcols.build_cols_plan(problem, problem.obs.uv.dtype)
+    except ValueError:
+        cplan = None
+    plans = None
+    if cplan is None:
+        plans = flatplan.build_flat_plans(problem,
+                                          problem.intr_tangent_dim)
+        planned_E = _use_planned_E(_static_shapes(), plans)
+
+    def _scaling(d_cam, C_diag_blocks):
         if options.jacobi_scaling:
             s_cam = jnp.where(d_cam > 0,
                               1.0 / (1.0 + jnp.sqrt(jnp.maximum(d_cam, 0.0))),
@@ -231,27 +438,48 @@ def make_dense_schur_solver(problem: Problem, options: SolverOptions):
         else:
             s_cam = jnp.ones_like(d_cam)
             s_pt = jnp.ones_like(C_diag_blocks)
+        return s_cam, s_pt
 
-        ev = scale_evaluation(ev, problem, shapes, s_cam, s_pt)
-
-        g_cam = camera_gradient(ev, problem, shapes)
-        _, _, g_pt = assembly.gradient_blocks(ev, problem, shapes)
-        B = assemble_B_dense(ev, problem, shapes)
-        A = assemble_E_dense(ev, problem, shapes)
-        C = assembly.point_hessian_blocks(ev, problem, shapes)
+    def _aux(ev, g_pose, g_intr, g_pt, B, A, C, s_cam, s_pt):
+        g_cam = jnp.concatenate([g_pose.reshape(-1), g_intr.reshape(-1)])
+        s_pt_flat = s_pt.reshape(-1)
         gmax = jnp.maximum(
             jnp.max(jnp.abs(g_cam / jnp.where(s_cam == 0, 1.0, s_cam))),
-            jnp.max(jnp.abs(g_pt / jnp.where(s_pt == 0, 1.0, s_pt))))
+            jnp.max(jnp.abs(g_pt.reshape(-1)
+                            / jnp.where(s_pt_flat == 0, 1.0, s_pt_flat))))
         return {
             "cost": ev.cost, "ev": ev, "g_cam": g_cam, "g_pt": g_pt,
-            "B": B, "A": A, "C": C, "s_cam": s_cam, "s_pt": s_pt,
+            "B": B, "A": A, "C": C, "s_cam": s_cam, "s_pt": s_pt_flat,
             "gradient_max_norm": gmax,
         }
 
-    def _static_shapes():
-        return assembly.TangentShapes(
-            problem.pose_free.shape[0], problem.intr_free.shape[0],
-            problem.intr_tangent_dim, problem.point_free.shape[0])
+    def prepare_cols(params: Params):
+        ev = flatcols.evaluate_cols(params, problem, cplan)
+        d_cam, C_diag_blocks = flatcols.jtj_diag_cols(ev, cplan)
+        s_cam, s_pt = _scaling(d_cam, C_diag_blocks)
+        ev = flatcols.scale_cols(ev, cplan, s_cam, s_pt)
+        g_pose, g_intr, g_pt = flatcols.gradient_cols(ev, cplan)
+        B = flatcols.assemble_B_cols(ev, cplan, _static_shapes().cam_dim)
+        A = flatcols.assemble_E_cols(ev, cplan)
+        C = flatcols.point_hessian_cols(ev, cplan)
+        return _aux(ev, g_pose, g_intr, g_pt, B, A, C, s_cam, s_pt)
+
+    def prepare_legacy(params: Params):
+        ev = residuals.evaluate(params, problem, with_jacobians=True)
+        shapes = assembly.tangent_shapes(problem, params)
+        d_cam, C_diag_blocks = jtj_diag_planned(ev, problem, shapes, plans)
+        s_cam, s_pt = _scaling(d_cam, C_diag_blocks)
+        ev = scale_evaluation(ev, problem, shapes, s_cam,
+                              s_pt.reshape(-1))
+        g_pose, g_intr, g_pt = gradient_blocks_planned(ev, problem, shapes,
+                                                       plans)
+        B = assemble_B_planned(ev, problem, shapes, plans)
+        A = (assemble_E_planned(ev, problem, shapes, plans) if planned_E
+             else assemble_E_dense(ev, problem, shapes))
+        C = point_hessian_planned(ev, plans)
+        return _aux(ev, g_pose, g_intr, g_pt, B, A, C, s_cam, s_pt)
+
+    prepare = prepare_cols if cplan is not None else prepare_legacy
 
     def solve_step(aux, radius):
         ev = aux["ev"]
@@ -291,7 +519,12 @@ def make_dense_schur_solver(problem: Problem, options: SolverOptions):
         lm_pt_b = lm_pt.reshape(M, 3)
         shapes = _static_shapes()
         for _ in range(options.refinement_steps):
-            Hx_cam, Hx_pt = gn_hessian_apply(ev, problem, shapes, dxc, dxp)
+            if cplan is not None:
+                Hx_cam, Hx_pt = flatcols.hessian_apply_cols(ev, cplan,
+                                                            dxc, dxp)
+            else:
+                Hx_cam, Hx_pt = gn_hessian_apply_planned(
+                    ev, problem, shapes, plans, dxc, dxp)
             res_cam = -g_cam - (Hx_cam + lm_cam * dxc)
             res_pt = -g_pt - (Hx_pt + lm_pt_b * dxp)
             cc, cp = schur_solve(res_cam, res_pt)
@@ -313,6 +546,15 @@ def make_dense_schur_solver(problem: Problem, options: SolverOptions):
         dx = jnp.concatenate([dx_cam_u, dx_pt_u.reshape(-1)])
         return dx, predicted, jnp.asarray(0, jnp.int32)
 
+    def _h_apply(ev, dxc, dxp):
+        if cplan is not None:
+            return flatcols.hessian_apply_cols(ev, cplan, dxc, dxp)
+        return gn_hessian_apply_planned(ev, problem, _static_shapes(),
+                                        plans, dxc, dxp)
+
+    prepare.hessian_apply = _h_apply
+    if cplan is not None:
+        prepare.extras = flatcols.make_extras(problem, cplan)
     return prepare, solve_step
 
 

@@ -100,13 +100,21 @@ def _time_call(call: Callable, args, repeats: int = 5,
                 best = min(best, (time.perf_counter() - t0) / pipeline)
                 del outs
             return best
-        except jax.errors.JaxRuntimeError:
+        except Exception as e:
             # Deep pipelines hold `pipeline` copies of the phase output
             # alive at once — a memory-fat phase (e.g. dense_schur's aux)
-            # can exhaust HBM.  Halve the depth and retry; latency
-            # amortization degrades gracefully.
-            if pipeline <= 2:
+            # can exhaust HBM (surfaces as JaxRuntimeError from
+            # block_until_ready or ValueError at dispatch).  Halve the
+            # depth and retry; latency amortization degrades gracefully.
+            if "RESOURCE_EXHAUSTED" not in str(e) or pipeline <= 2:
                 raise
+            # Drain the queue first: the failed attempt's in-flight
+            # executions still hold their output buffers, so an
+            # immediate retry OOMs again regardless of depth.
+            try:
+                jax.block_until_ready(call(*args))
+            except Exception:
+                pass
             pipeline //= 2
             best = float("inf")
 

