@@ -100,7 +100,14 @@ def solve_config(config, scale, opts_kw, fns_builder=None, dtype_name="f32"):
 
 
 def main():
+    import os
+
     import jax
+    if (os.environ.get("JAX_PLATFORMS") == "axon"
+            and "--cpu-mesh" not in sys.argv):
+        # register the in-process cpu backend for generation math
+        # (tunnel device reads are ~MB/s — synthetic._gen_compute_device)
+        jax.config.update("jax_platforms", "axon,cpu")
     rows = []
     common = dict(linear_solver="auto", max_cg_iterations=100,
                   cg_eta=1e-2, max_iterations=40)

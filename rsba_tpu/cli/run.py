@@ -125,6 +125,11 @@ def main(argv=None) -> int:
         # (tunnel device→host reads run at ~MB/s — see
         # problem/synthetic._gen_compute_device).
         jax.config.update("jax_platforms", "axon,cpu")
+    # Persistent compile cache across CLI invocations.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/rsba_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.multihost:

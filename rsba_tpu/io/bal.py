@@ -91,15 +91,17 @@ def load_bal(path: str, *, loss: Loss = Loss("huber", 4.0),
         return out
 
     np_dtype = np.dtype(jnp.zeros((), dtype).dtype)
-    obs = Observations(
-        uv=jnp.asarray(pad(uv, np_dtype)),
-        t=jnp.zeros((total,), dtype),
-        pose_a=jnp.asarray(pad(cam_idx, np.int32)),
-        pose_b=jnp.asarray(pad(cam_idx, np.int32)),
-        intr_idx=jnp.asarray(pad(cam_idx, np.int32)),
-        point=jnp.asarray(pad(pt_idx, np.int32)),
-        mask=jnp.asarray(pad(np.ones(n_obs), np_dtype)),
+    obs_np = Observations(
+        uv=pad(uv, np_dtype),
+        t=np.zeros((total,), np_dtype),
+        pose_a=pad(cam_idx, np.int32),
+        pose_b=pad(cam_idx, np.int32),
+        intr_idx=pad(cam_idx, np.int32),
+        point=pad(pt_idx, np.int32),
+        mask=pad(np.ones(n_obs), np_dtype),
     )
+    import jax
+    obs = jax.tree.map(jnp.asarray, obs_np)
 
     basis = (intr_basis_bal(np_dtype) if optimize_intrinsics
              else intr_basis_fixed(np_dtype))
@@ -107,6 +109,10 @@ def load_bal(path: str, *, loss: Loss = Loss("huber", 4.0),
                            loss, intr_basis=basis, dtype=dtype)
     if fix_gauge:
         problem = problem.replace(pose_free=problem.pose_free.at[0].set(0.0))
+    # Host mirrors for solver-build-time planning (avoids device reads
+    # of the observation arrays over the TPU tunnel).
+    from ..utils import hostcache
+    hostcache.put_tree(problem.obs, obs_np)
     return problem, params
 
 

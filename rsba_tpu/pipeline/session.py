@@ -481,19 +481,33 @@ class SfmSession:
 
         P = F + 1 if rs else F          # +1: virtual end pose (RS)
         n_tid = len(tids)
+        uv_np = pad(np.asarray(rows_uv, np.float64)).astype(np.float64)
+        t_np = pad(np.asarray(rows_t, np.float64))
+        pa_np_p = pad(np.asarray(rows_pa, np.int32))
+        pb_np_p = pad(np.asarray(rows_pb, np.int32))
+        pt_np_p = pad(np.asarray(rows_pt, np.int32))
+        mask_np = pad(np.ones(N))
         # Shape buckets: dummy constant poses/points (never referenced by
         # any observation) round the parameter counts up so the solver's
         # jit cache is reused as the session grows.
         P_pad = (-P % 8) if self.shape_buckets else 0
         M_pad = (-n_tid % 256) if self.shape_buckets else 0
+        np_dt = np.dtype(jnp.zeros((), dt).dtype)
         obs = Observations(
-            uv=jnp.asarray(pad(np.asarray(rows_uv, np.float64)), dt),
-            t=jnp.asarray(pad(np.asarray(rows_t, np.float64)), dt),
-            pose_a=jnp.asarray(pad(np.asarray(rows_pa, np.int32))),
-            pose_b=jnp.asarray(pad(np.asarray(rows_pb, np.int32))),
+            uv=jnp.asarray(uv_np, dt),
+            t=jnp.asarray(t_np, dt),
+            pose_a=jnp.asarray(pa_np_p),
+            pose_b=jnp.asarray(pb_np_p),
             intr_idx=jnp.zeros((N + n_pad,), jnp.int32),
-            point=jnp.asarray(pad(np.asarray(rows_pt, np.int32))),
-            mask=jnp.asarray(pad(np.ones(N)), dt))
+            point=jnp.asarray(pt_np_p),
+            mask=jnp.asarray(mask_np, dt))
+        # Host mirrors for solver-build-time planning (no device reads).
+        from ..utils import hostcache
+        hostcache.put_tree(obs, Observations(
+            uv=uv_np.astype(np_dt), t=t_np.astype(np_dt),
+            pose_a=pa_np_p, pose_b=pb_np_p,
+            intr_idx=np.zeros((N + n_pad,), np.int32), point=pt_np_p,
+            mask=mask_np.astype(np_dt)))
         problem = make_problem(obs, P + P_pad, n_tid + M_pad, 1,
                                self.model, self.loss,
                                intr_basis=intr_basis_fixed(), dtype=dt)

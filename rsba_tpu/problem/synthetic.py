@@ -193,9 +193,16 @@ def make_ba_problem(*args, **kwargs) -> SyntheticBA:
         return jax.tree.map(lambda x: jax.device_put(x, tgt)
                             if isinstance(x, jax.Array) else x, tree)
 
-    return dataclasses.replace(ba, problem=move(ba.problem),
-                               params0=move(ba.params0),
-                               params_gt=move(ba.params_gt))
+    moved = dataclasses.replace(ba, problem=move(ba.problem),
+                                params0=move(ba.params0),
+                                params_gt=move(ba.params_gt))
+    # Register host mirrors of the observation arrays: solver factories
+    # build their plans from these on the host, and reading them back
+    # over the TPU tunnel can queue behind the upload for minutes.
+    from ..utils import hostcache
+    host_obs = jax.tree.map(np.asarray, ba.problem.obs)
+    hostcache.put_tree(moved.problem.obs, host_obs)
+    return moved
 
 
 def _make_ba_problem(

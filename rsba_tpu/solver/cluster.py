@@ -54,8 +54,9 @@ def cluster_cameras(problem: Problem, point_plan: flatplan.GroupPlan,
     """
     P = int(problem.pose_free.shape[0])
     N = point_plan.n_obs
-    pa = np.asarray(problem.obs.pose_a)
-    slots = np.asarray(point_plan.slots)
+    from ..utils import hostcache
+    pa = hostcache.asnumpy(problem.obs.pose_a)
+    slots = hostcache.asnumpy(point_plan.slots)
     cam = np.concatenate([pa, [-1]])[np.minimum(slots, N)]      # (R, L)
     L = cam.shape[1]
     il, ik = np.triu_indices(L, 1)
@@ -97,6 +98,7 @@ class ClusterPlan(NamedTuple):
     pair_k: jax.Array            # (NP,) int32 obs index
     pair_point: jax.Array        # (NP,) int32
     pairs: flatplan.PairPlan     # grouped by (pose_i, pose_k)
+    pose_table: jax.Array        # (n_clusters, max_poses) pose id; P = pad
 
 
 def build_cluster_plan(problem: Problem, point_plan: flatplan.GroupPlan,
@@ -112,9 +114,10 @@ def build_cluster_plan(problem: Problem, point_plan: flatplan.GroupPlan,
     max_poses = int(counts.max()) if n_c else 1
 
     N = point_plan.n_obs
-    pa = np.asarray(problem.obs.pose_a)
-    pt = np.asarray(problem.obs.point)
-    slots = np.asarray(point_plan.slots)
+    from ..utils import hostcache
+    pa = hostcache.asnumpy(problem.obs.pose_a)
+    pt = hostcache.asnumpy(problem.obs.point)
+    slots = hostcache.asnumpy(point_plan.slots)
     L = slots.shape[1]
     il, ik = np.triu_indices(L, 1)
     oi = slots[:, il].ravel()
@@ -127,6 +130,8 @@ def build_cluster_plan(problem: Problem, point_plan: flatplan.GroupPlan,
     oi, ok_ = oi[keep], ok_[keep]
     pairs = flatplan.build_pair_plan(pa[oi], pa[ok_],
                                      int(problem.pose_free.shape[0]))
+    table = np.full((n_c, max_poses), P, np.int64)
+    table[ids, local] = np.arange(P)
     return ClusterPlan(
         cluster_of=jnp.asarray(ids, jnp.int32),
         local_of=jnp.asarray(local, jnp.int32),
@@ -134,7 +139,8 @@ def build_cluster_plan(problem: Problem, point_plan: flatplan.GroupPlan,
         pair_i=jnp.asarray(oi, jnp.int32),
         pair_k=jnp.asarray(ok_, jnp.int32),
         pair_point=jnp.asarray(pt[oi], jnp.int32),
-        pairs=pairs)
+        pairs=pairs,
+        pose_table=jnp.asarray(table, jnp.int32))
 
 
 def cluster_blocks(cp: ClusterPlan, D_pose: jax.Array, ev, problem: Problem,
@@ -146,14 +152,22 @@ def cluster_blocks(cp: ClusterPlan, D_pose: jax.Array, ev, problem: Problem,
     −Σ_j F_jp C_jλ⁻¹ F_jqᵀ is assembled from the same-point pair list.
     """
     D = cp.max_poses * POSE_DOF
-    out = jnp.zeros((cp.n_clusters, D, D), D_pose.dtype)
-
-    # Diagonal per-pose blocks (unique placement).
+    mp = cp.max_poses
+    dt = D_pose.dtype
     c_of = cp.cluster_of
-    base = cp.local_of * POSE_DOF
-    rows = base[:, None] + jnp.arange(POSE_DOF)[None, :]       # (P, 6)
-    out = out.at[c_of[:, None, None], rows[:, :, None],
-                 rows[:, None, :]].add(D_pose)
+
+    # Diagonal per-pose blocks — scatter-free placement (the axon TPU
+    # compiler was observed miscompiling chained `.at[].add` placements;
+    # see flatcols._diag_embed): reduce per (cluster, slot) via one-hot
+    # matmul, then broadcast against an identity slot mask.
+    slot_id = c_of * mp + cp.local_of                          # (P,)
+    ohs = jax.nn.one_hot(slot_id, cp.n_clusters * mp, dtype=dt)
+    T = jnp.einsum("ps,pwv->swv", ohs,
+                   jax.lax.optimization_barrier(D_pose))
+    T = T.reshape(cp.n_clusters, mp, POSE_DOF, POSE_DOF)
+    eye = jnp.eye(mp, dtype=dt)
+    out = (T[:, :, :, None, :]
+           * eye[None, :, None, :, None]).reshape(cp.n_clusters, D, D)
 
     # Off-diagonal −F C⁻¹ Fᵀ for co-clustered camera pairs.
     if cp.pair_i.shape[0] > 0:
@@ -176,15 +190,16 @@ def cluster_blocks(cp: ClusterPlan, D_pose: jax.Array, ev, problem: Problem,
                     for p in range(3) for q in range(3)))
         blocks = cp.pairs.group.reduce_cols(
             jnp.stack(comps, axis=0)).reshape(-1, POSE_DOF, POSE_DOF)
-        # Unique (pose_i, pose_k) placement + transpose (S symmetric).
+        # Unique (pose_i, pose_k) placement + transpose (S symmetric) —
+        # scatter-free: three-way one-hot contraction over unique pairs.
         pi, pk = cp.pairs.pos_i, cp.pairs.pos_k
-        cu = c_of[pi]
-        ri = (cp.local_of[pi] * POSE_DOF)[:, None] + jnp.arange(POSE_DOF)
-        ck = (cp.local_of[pk] * POSE_DOF)[:, None] + jnp.arange(POSE_DOF)
-        out = out.at[cu[:, None, None], ri[:, :, None],
-                     ck[:, None, :]].add(blocks)
-        out = out.at[cu[:, None, None], ck[:, :, None],
-                     ri[:, None, :]].add(jnp.swapaxes(blocks, -1, -2))
+        ohc = jax.nn.one_hot(c_of[pi], cp.n_clusters, dtype=dt)
+        ohi = jax.nn.one_hot(cp.local_of[pi], mp, dtype=dt)
+        ohk = jax.nn.one_hot(cp.local_of[pk], mp, dtype=dt)
+        cross = jnp.einsum("uc,ul,um,uwv->clwmv", ohc, ohi, ohk,
+                           jax.lax.optimization_barrier(blocks))
+        cross = cross.reshape(cp.n_clusters, D, D)
+        out = out + cross + jnp.swapaxes(cross, -1, -2)
 
     # Pad unused slots with identity rows so the batched Cholesky is PD.
     occupied = jnp.zeros((cp.n_clusters, cp.max_poses), D_pose.dtype)
@@ -207,12 +222,14 @@ def make_cluster_preconditioner(cp: ClusterPlan, D_pose, D_intr, shapes,
 
     def apply(r: jax.Array) -> jax.Array:
         rp = r[:p6].reshape(shapes.n_poses, POSE_DOF)
-        rc = jnp.zeros((cp.n_clusters, D), r.dtype)
-        rows = (cp.local_of * POSE_DOF)[:, None] + jnp.arange(POSE_DOF)
-        rc = rc.at[cp.cluster_of[:, None], rows].set(rp)
+        # gather-based pack/unpack (scatter-free; see cluster_blocks)
+        ext = jnp.concatenate(
+            [rp, jnp.zeros((1, POSE_DOF), r.dtype)], axis=0)
+        rc = ext[cp.pose_table].reshape(cp.n_clusters, D)
         zc = jax.vmap(
             lambda L, b: jax.scipy.linalg.cho_solve((L, True), b))(Lc, rc)
-        zp = zc[cp.cluster_of[:, None], rows].reshape(-1)
+        zp = zc.reshape(cp.n_clusters, cp.max_poses, POSE_DOF)[
+            cp.cluster_of, cp.local_of].reshape(-1)
         if ni > 0:
             ri = r[p6:].reshape(shapes.n_intr, ni)
             zi = jax.vmap(

@@ -103,11 +103,21 @@ class ColsPlan(NamedTuple):
     # --- camera-side: one-hot matmuls -----------------------------------
 
     def cam_reduce(self, oh: jax.Array, comps: jax.Array) -> jax.Array:
-        """(C, N2) × (N2, E) → (E, C)."""
+        """(C, N2) × (N2, E) → (E, C).
+
+        The optimization barrier is LOAD-BEARING: without it XLA fuses
+        the component producer (scaled-Jacobian products) into the MXU
+        operand and the fused form loses ~40% of small-magnitude sums
+        on TPU (measured: scaled B diagonal 0.51 vs 0.92 true; the same
+        dot on a materialized operand is exact to 1e-6).  Materializing
+        the (C, N2) components first costs ~0.1 ms of bandwidth.
+        """
+        comps = jax.lax.optimization_barrier(comps)
         return jax.lax.dot(comps, oh).T
 
     def cam_fetch(self, oh: jax.Array, table: jax.Array) -> jax.Array:
         """(E, D) per-entity values → (D, N2) per-obs columns."""
+        table = jax.lax.optimization_barrier(table)
         return jax.lax.dot(oh, table).T
 
 
@@ -119,14 +129,15 @@ def _one_hot_np(ids: np.ndarray, n: int, dtype) -> jnp.ndarray:
 
 def build_cols_plan(problem: Problem, dtype) -> ColsPlan:
     """Host-side construction (one d2h of the obs index arrays)."""
+    from ..utils import hostcache
     obs = problem.obs
-    pa = np.asarray(obs.pose_a)
-    pb = np.asarray(obs.pose_b)
-    ii = np.asarray(obs.intr_idx)
-    pt = np.asarray(obs.point)
-    uv = np.asarray(obs.uv)
-    tt = np.asarray(obs.t)
-    mk = np.asarray(obs.mask)
+    pa = hostcache.asnumpy(obs.pose_a)
+    pb = hostcache.asnumpy(obs.pose_b)
+    ii = hostcache.asnumpy(obs.intr_idx)
+    pt = hostcache.asnumpy(obs.point)
+    uv = hostcache.asnumpy(obs.uv)
+    tt = hostcache.asnumpy(obs.t)
+    mk = hostcache.asnumpy(obs.mask)
     N = pa.shape[0]
     P = int(problem.pose_free.shape[0])
     K = int(problem.intr_free.shape[0])
@@ -134,24 +145,25 @@ def build_cols_plan(problem: Problem, dtype) -> ColsPlan:
     rs = problem.model.rolling_shutter
     ni = problem.intr_tangent_dim
 
-    # Point-slot grouping: only REAL observations (mask > 0) count; pad
-    # slots keep mask 0 and harmless indices.
-    live = mk > 0
-    pt_eff = np.where(live, pt, M)       # dead slots park on a fake point
-    g = flatplan.build_group_plan(pt_eff, M + 1)
-    # drop rows of the fake point (they hold only dead slots)
-    keep_rows = np.asarray(g.rows) < M
-    slots = np.asarray(g.slots)[keep_rows]
-    rows = np.asarray(g.rows)[keep_rows]
-    # every live observation must still be covered
+    # Point-slot grouping over REAL observations only (mask > 0): the
+    # problem's own padding must not enter the grouping — it would form
+    # one giant fake segment and blow the slot width L.
+    live = np.nonzero(mk > 0)[0]
+    n_live = live.shape[0]
+    pa, pb, ii, pt = pa[live], pb[live], ii[live], pt[live]
+    uv, tt, mk = uv[live], tt[live], mk[live]
+    g = flatplan.build_group_plan(pt, M)
+    from ..utils import hostcache as _hc
+    slots = _hc.asnumpy(g.slots)
+    rows = _hc.asnumpy(g.rows)
     R, L = slots.shape
     order = slots.reshape(-1)
-    valid = order < N
+    valid = order < n_live
 
     def perm(a, fill=0.0):
         ext = np.concatenate([a, np.full((1,) + a.shape[1:], fill,
                                          a.dtype)])
-        return ext[np.minimum(order, N)]
+        return ext[np.minimum(order, n_live)]
 
     pa_p = perm(pa.astype(np.int64), 0).astype(np.int64)
     pb_p = perm(pb.astype(np.int64), 0).astype(np.int64)
@@ -394,53 +406,74 @@ def point_hessian_cols(ev: ColsEval, plan: ColsPlan) -> jax.Array:
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def _diag_embed(blocks: jax.Array) -> jax.Array:
+    """(E, w, w) blocks → dense block-diagonal (E·w, E·w), scatter-free.
+
+    Pure broadcast-multiply with an identity mask: the axon TPU compiler
+    was observed MISCOMPILING chains of `.at[].add` scatter placements
+    (the same reduce placed via scatter lost ~half its diagonal mass,
+    toggling with unrelated graph content); dense construction sidesteps
+    the scatter lowering entirely.  Memory: (E, w, E, w) — fine for the
+    camera-entity counts the flat path serves.
+    """
+    E, w = blocks.shape[0], blocks.shape[1]
+    eye = jnp.eye(E, dtype=blocks.dtype)
+    out = blocks[:, :, None, :] * eye[:, None, :, None]
+    return out.reshape(E * w, E * w)
+
+
+def _pair_embed(blocks: jax.Array, pos_i: jax.Array, pos_k: jax.Array,
+                n_i: int, n_k: int) -> jax.Array:
+    """(U, wi, wk) unique-pair blocks → dense (n_i·wi, n_k·wk).
+
+    Two-sided one-hot contraction (scatter-free, see _diag_embed)."""
+    U, wi, wk = blocks.shape
+    dt = blocks.dtype
+    ohi = jax.nn.one_hot(pos_i, n_i, dtype=dt)        # (U, n_i)
+    ohk = jax.nn.one_hot(pos_k, n_k, dtype=dt)        # (U, n_k)
+    out = jnp.einsum("up,uwv,uk->pwkv", ohi,
+                     jax.lax.optimization_barrier(blocks), ohk)
+    return out.reshape(n_i * wi, n_k * wk)
+
+
 def assemble_B_cols(ev: ColsEval, plan: ColsPlan, Dc: int) -> jax.Array:
     p6 = plan.n_poses * POSE_DOF
     ni = plan.ni
-    B = jnp.zeros((Dc, Dc), ev.r.dtype)
+    P = plan.n_poses
 
-    def diag(oh, J, base0, single=False):
-        c = _prod_cols(J, J)
-        w = J.shape[1]
-        blocks = (jnp.sum(c, axis=1)[None, :] if single
-                  else plan.cam_reduce(oh, c)).reshape(-1, w, w)
-        return flatplan.place_diag_blocks(B, blocks, base0, w)
-
-    def cross(oh, pos, Ji, Jk, bi0, bk0):
+    def blocks_of(oh, Ji, Jk, single=False):
         wi, wk = Ji.shape[1], Jk.shape[1]
-        blocks = plan.cam_reduce(oh, _prod_cols(Ji, Jk)).reshape(
-            -1, wi, wk)
-        pp = flatplan.PairPlan(group=None, pos_i=pos[0], pos_k=pos[1])
-        return flatplan.place_pair_blocks(B, pp, blocks, bi0, wi, bk0, wk)
+        c = _prod_cols(Ji, Jk)
+        red = (jnp.sum(c, axis=1)[None, :] if single
+               else plan.cam_reduce(oh, c))
+        return red.reshape(-1, wi, wk)
 
-    B = diag(plan.oh_a, ev.Ja, 0)
+    Bpp = _diag_embed(blocks_of(plan.oh_a, ev.Ja, ev.Ja))
     if ev.Jb is not None:
-        B = diag(plan.oh_b, ev.Jb, 0)
-        B = cross(plan.oh_ab, plan.ab_pos, ev.Ja, ev.Jb, 0, 0)
-    if ni > 0:
-        B = diag(plan.oh_i, ev.Ji, p6, single=plan.intr_single)
-        if plan.intr_single:
-            # single intrinsics block: pair reduce degenerates to the
-            # per-pose reduce (k is always 0)
-            blocks = plan.cam_reduce(
-                plan.oh_a, _prod_cols(ev.Ja, ev.Ji)).reshape(-1, POSE_DOF,
-                                                             ni)
-            pos = (jnp.arange(plan.n_poses, dtype=jnp.int32),
-                   jnp.zeros(plan.n_poses, jnp.int32))
-            pp = flatplan.PairPlan(group=None, pos_i=pos[0], pos_k=pos[1])
-            B = flatplan.place_pair_blocks(B, pp, blocks, 0, POSE_DOF,
-                                           p6, ni)
-            if ev.Jb is not None:
-                blocks = plan.cam_reduce(
-                    plan.oh_b, _prod_cols(ev.Jb, ev.Ji)).reshape(
-                        -1, POSE_DOF, ni)
-                B = flatplan.place_pair_blocks(B, pp, blocks, 0, POSE_DOF,
-                                               p6, ni)
-        else:
-            B = cross(plan.oh_ai, plan.ai_pos, ev.Ja, ev.Ji, 0, p6)
-            if ev.Jb is not None:
-                B = cross(plan.oh_bi, plan.bi_pos, ev.Jb, ev.Ji, 0, p6)
-    return B
+        Bpp = Bpp + _diag_embed(blocks_of(plan.oh_b, ev.Jb, ev.Jb))
+        ab = blocks_of(plan.oh_ab, ev.Ja, ev.Jb)
+        cross_ab = _pair_embed(ab, plan.ab_pos[0], plan.ab_pos[1], P, P)
+        Bpp = Bpp + cross_ab + cross_ab.T
+    if ni == 0:
+        return Bpp
+    Bii = _diag_embed(blocks_of(plan.oh_i, ev.Ji, ev.Ji,
+                                single=plan.intr_single))
+    if plan.intr_single:
+        pos = (jnp.arange(P, dtype=jnp.int32),
+               jnp.zeros((P,), jnp.int32))
+        Bpi = _pair_embed(blocks_of(plan.oh_a, ev.Ja, ev.Ji),
+                          pos[0], pos[1], P, 1)
+        if ev.Jb is not None:
+            Bpi = Bpi + _pair_embed(blocks_of(plan.oh_b, ev.Jb, ev.Ji),
+                                    pos[0], pos[1], P, 1)
+    else:
+        Bpi = _pair_embed(blocks_of(plan.oh_ai, ev.Ja, ev.Ji),
+                          plan.ai_pos[0], plan.ai_pos[1], P, plan.n_intr)
+        if ev.Jb is not None:
+            Bpi = Bpi + _pair_embed(
+                blocks_of(plan.oh_bi, ev.Jb, ev.Ji),
+                plan.bi_pos[0], plan.bi_pos[1], P, plan.n_intr)
+    return jnp.block([[Bpp, Bpi], [Bpi.T, Bii]])
 
 
 def assemble_E_cols(ev: ColsEval, plan: ColsPlan) -> jax.Array:
@@ -455,7 +488,7 @@ def assemble_E_cols(ev: ColsEval, plan: ColsPlan) -> jax.Array:
             out = jnp.sum(comps.reshape(3 * w, R, L), axis=2)  # (3w, R)
             folded = plan.fold_rows(out)             # (3w, M)
             return folded.T.reshape(M, 3, w)
-        g = comps.reshape(3 * w, R, L)
+        g = jax.lax.optimization_barrier(comps).reshape(3 * w, R, L)
         oh3 = oh.reshape(R, L, n_e)
         out = jnp.einsum("crl,rle->cer",
                          g.astype(oh3.dtype), oh3).astype(comps.dtype)

@@ -125,11 +125,15 @@ def build_group_plan(ids: np.ndarray, n_segments: int,
     rows = np.repeat(np.arange(n_segments), rows_per)
     identity = bool(R == n_segments) and bool(
         np.array_equal(rows, np.arange(n_segments)))
-    return GroupPlan(slots=jnp.asarray(slots, jnp.int32),
+    from ..utils import hostcache
+    plan = GroupPlan(slots=jnp.asarray(slots, jnp.int32),
                      slots_t=jnp.asarray(slots.T, jnp.int32),
                      rows=jnp.asarray(rows, jnp.int32),
                      n_segments=int(n_segments), n_obs=N,
                      identity_rows=identity)
+    hostcache.put(plan.slots, slots)
+    hostcache.put(plan.rows, rows)
+    return plan
 
 
 class PairPlan(NamedTuple):
@@ -171,11 +175,12 @@ class FlatPlans(NamedTuple):
 
 def build_flat_plans(problem: Problem, ni: int) -> FlatPlans:
     """Host-side plan construction (one d2h of the index arrays)."""
+    from ..utils import hostcache
     obs = problem.obs
-    pa = np.asarray(obs.pose_a)
-    pb = np.asarray(obs.pose_b)
-    ii = np.asarray(obs.intr_idx)
-    pt = np.asarray(obs.point)
+    pa = hostcache.asnumpy(obs.pose_a)
+    pb = hostcache.asnumpy(obs.pose_b)
+    ii = hostcache.asnumpy(obs.intr_idx)
+    pt = hostcache.asnumpy(obs.point)
     P = int(problem.pose_free.shape[0])
     K = int(problem.intr_free.shape[0])
     M = int(problem.point_free.shape[0])

@@ -378,7 +378,9 @@ def make_iterative_schur_solver(problem: Problem, options: SolverOptions):
         lm_pt, _ = _lm_scaled_damp(c_diag, radius, options)
         lm_pt_b = lm_pt.reshape(M, 3)
         C_l = C + jax.vmap(jnp.diag)(lm_pt_b)
-        C_inv = invert_3x3_psd(C_l)
+        # Barrier: keep the closed-form inverse out of downstream MXU
+        # operand fusions (TPU corrupts fused operands — see schur.py).
+        C_inv = jax.lax.optimization_barrier(invert_3x3_psd(C_l))
 
         if cplan is not None:
             def e_apply(y):

@@ -494,16 +494,23 @@ def make_dense_schur_solver(problem: Problem, options: SolverOptions):
         c_diag = jnp.diagonal(C, axis1=-2, axis2=-1)           # (M,3)
         lm_pt, dead_pt = _lm_scaled_damp(c_diag.reshape(-1), radius, options)
         C_l = C + jax.vmap(jnp.diag)(lm_pt.reshape(M, 3))
-        C_inv = invert_3x3_psd(C_l)
+        # Barriers are LOAD-BEARING on TPU: XLA fuses the closed-form
+        # inverse / the Y product into the MXU contraction operands and
+        # the fused form corrupts the result (measured: S gained
+        # negative diagonal entries, Cholesky → NaN, solver FAILURE; see
+        # flatcols.ColsPlan.cam_reduce for the same bug class).
+        C_inv = jax.lax.optimization_barrier(invert_3x3_psd(C_l))
 
         # Reduced system: S = B_λ − Σ_j A_jᵀ C_j⁻¹ A_j.
-        Y = jnp.einsum("mab,mbd->mad", C_inv, A)               # (M,3,Dc)
+        Y = jax.lax.optimization_barrier(
+            jnp.einsum("mab,mbd->mad", C_inv, A))              # (M,3,Dc)
         S = B_l - jnp.einsum("mad,mae->de", A, Y)
         L = jnp.linalg.cholesky(S)
 
         def schur_solve(rc, rp):
             """Solve the damped full system K·[dc;dp] = [rc;rp] via S."""
-            w = jnp.einsum("mab,mb->ma", C_inv, rp)
+            w = jax.lax.optimization_barrier(
+                jnp.einsum("mab,mb->ma", C_inv, rp))
             rhs = rc - jnp.einsum("mad,ma->d", A, w)
             y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
             dc = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)

@@ -176,10 +176,11 @@ def build_window_plan(problem: Problem, max_window: int = 24,
     if problem.intr_tangent_dim != 0:
         return None
     obs = problem.obs
-    pose_a = np.asarray(obs.pose_a)
-    pose_b = np.asarray(obs.pose_b)
-    point = np.asarray(obs.point)
-    mask = np.asarray(obs.mask) > 0
+    from ..utils import hostcache
+    pose_a = hostcache.asnumpy(obs.pose_a)
+    pose_b = hostcache.asnumpy(obs.pose_b)
+    point = hostcache.asnumpy(obs.point)
+    mask = hostcache.asnumpy(obs.mask) > 0
     d_ab = pose_b - pose_a
     if not np.all(np.isin(d_ab[mask], (0, 1))):
         return None
@@ -267,9 +268,10 @@ def build_window_plan(problem: Problem, max_window: int = 24,
             [a, np.full((1,) + a.shape[1:], fill, dtype=a.dtype)])
         return ext[obs_sel]
 
-    uv = pack(obs.uv)
-    t = pack(obs.t)
-    m = pack(mask.astype(np.asarray(obs.uv).dtype))
+    uv_h = hostcache.asnumpy(obs.uv)
+    uv = pack(uv_h)
+    t = pack(hostcache.asnumpy(obs.t))
+    m = pack(mask.astype(uv_h.dtype))
     pa = pack(pose_a, fill=0)
     dab = pack(d_ab, fill=0)
     base_grid = np.broadcast_to(row_base[:, None, None].astype(np.int64),
@@ -278,7 +280,7 @@ def build_window_plan(problem: Problem, max_window: int = 24,
     if offs_a.min() < 0 or (offs_a + dab).max() >= W:
         return None
 
-    dtype = np.asarray(obs.uv).dtype
+    dtype = uv_h.dtype
     return WindowPlan(
         NR=NR, G=G, L=L, W=W, n_poses=n_poses, n_points=n_points,
         row_base=jnp.asarray(row_base),
