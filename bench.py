@@ -200,6 +200,34 @@ def main():
                 }}))
             os._exit(3)
 
+    if os.environ.get("RSBA_BENCH_CONFIG5_CHILD") == "1":
+        # Child mode (see config-5 attach below): solve config 5 alone
+        # on a clean device and print its record as the last JSON line.
+        _, _, s5, _ = run("rs_mhost_pcg", 1.0, "f32", opts,
+                          calibrate=False)
+        wall5 = wall_to_convergence(s5)
+        tot5 = sum(i.wall_time for i in s5.iterations)
+        rec = {
+            "config": "rs_mhost_pcg@1.0 (10k cams / 1M pts)",
+            "wall_to_conv_s": round(wall5, 3),
+            "total_s": round(tot5, 3),
+            "iters_per_sec": round(len(s5.iterations) / max(tot5, 1e-9), 2),
+            "lm_iterations": len(s5.iterations),
+            "final_rmse_inlier_px": round(s5.final_rmse_inlier, 4),
+            "termination": s5.termination,
+            "engine": f"{s5.linear_solver}/{s5.evaluator}",
+        }
+        baselines5 = {}
+        if BASELINE_FILE.exists():
+            baselines5 = json.loads(BASELINE_FILE.read_text())
+        base5 = (baselines5.get(f"rs_mhost_pcg@1.0:{s5.linear_solver}")
+                 or baselines5.get("rs_mhost_pcg@1.0:iterative_schur"))
+        if base5:
+            rec["vs_cpu_baseline"] = round(
+                base5["wall_to_conv_s"] / max(wall5, 1e-9), 1)
+        print(json.dumps(rec))
+        return
+
     ba, fns, s, model = run(config, scale, "f64" if cpu_mode else "f32",
                             opts)
     wall = wall_to_convergence(s)
@@ -299,9 +327,18 @@ def main():
                 p_int = xfns["to_internal"](ba.params0)
                 import jax as _jax
                 with _jax.default_matmul_precision(opts.matmul_precision):
-                    ca = (xprep._jitted.lower(*xprep._bound, p_int)
-                          .cost_analysis())
+                    # cost_analysis on the COMPILED executable (the
+                    # lowered-only variant returns nothing on the axon
+                    # PJRT backend); compiling does not execute, so no
+                    # HBM is allocated.
+                    lowered = xprep._jitted.lower(*xprep._bound, p_int)
+                    ca = lowered.compile().cost_analysis()
+                    if not ca or not ca.get("flops"):
+                        ca = lowered.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else None
                 flops = float(ca.get("flops", 0.0)) if ca else 0.0
+                del xfns, xprep, p_int, lowered
                 t_prep = details["roofline"]["prepare"]["time_s"]
                 if flops > 0 and t_prep > 0:
                     peak = roofline._peaks()[0]
@@ -324,25 +361,24 @@ def main():
     if (config == "rs_slerp_robust" and scale == 1.0
             and os.environ.get("RSBA_BENCH_SKIP_CONFIG5", "") != "1"):
         try:
-            _, _, s5, _ = run("rs_mhost_pcg", 1.0, "f32", opts)
-            wall5 = wall_to_convergence(s5)
-            base5 = (baselines.get(f"rs_mhost_pcg@1.0:{s5.linear_solver}")
-                     or baselines.get("rs_mhost_pcg@1.0:iterative_schur"))
-            details["config5"] = {
-                "config": "rs_mhost_pcg@1.0 (10k cams / 1M pts)",
-                "wall_to_conv_s": round(wall5, 3),
-                "total_s": round(sum(i.wall_time for i in s5.iterations), 3),
-                "iters_per_sec": round(
-                    len(s5.iterations)
-                    / max(sum(i.wall_time for i in s5.iterations), 1e-9), 2),
-                "lm_iterations": len(s5.iterations),
-                "final_rmse_inlier_px": round(s5.final_rmse_inlier, 4),
-                "termination": s5.termination,
-                "engine": f"{s5.linear_solver}/{s5.evaluator}",
-            }
-            if base5:
-                details["config5"]["vs_cpu_baseline"] = round(
-                    base5["wall_to_conv_s"] / max(wall5, 1e-9), 1)
+            # Run config 5 in a FRESH subprocess: on the 16 GiB v5e chip
+            # the 10k-pose / 1M-pt / 7.4M-obs solve RESOURCE_EXHAUSTs
+            # when config 4's buffers are still resident, and the axon
+            # tunnel does not reliably free them on del+gc (observed r5
+            # on-chip).  A child process starts with clean HBM.
+            import subprocess
+            env = dict(os.environ, RSBA_BENCH_CONFIG5_CHILD="1")
+            cp = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=900, env=env)
+            last = [l for l in cp.stdout.strip().splitlines()
+                    if l.startswith("{")]
+            if cp.returncode == 0 and last:
+                details["config5"] = json.loads(last[-1])
+            else:
+                details["config5_error"] = (
+                    f"child rc={cp.returncode}: "
+                    + cp.stderr.strip()[-200:])
         except Exception as e:
             details["config5_error"] = f"{type(e).__name__}: {e}"[:200]
 

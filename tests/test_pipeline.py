@@ -28,6 +28,9 @@ def _frames_from(ba):
     return frames
 
 
+@pytest.mark.slow  # 305 s: the 20-frame f64 GS variant.  The identical
+# GS path (bootstrap → register → triangulate → windowed BA) runs in the
+# fast suite via test_session_f32_mode, which also checks poses vs GT.
 def test_session_reconstructs_gs_sequence_from_scratch():
     ba = synthetic.make_ba_problem(
         n_poses=20, n_points=400, track_len=6, rolling_shutter=False,
@@ -117,3 +120,15 @@ def test_session_f32_mode():
                                   if not r.get("registered", True)]
     s = sess.bundle_adjust(window=None)
     assert s.final_rmse_inlier < 2.0 * ba.pixel_noise, s.final_rmse_inlier
+
+    # Pose accuracy vs GT (moved here from the slow-marked 20-frame GS
+    # test so the fast suite keeps the oracle): the similarity gauge
+    # conjugates relative rotations, so their ANGLE is the invariant.
+    from rsba_tpu.geometry import quaternion as quat
+    q_est, c_est, _ = sess.reconstruction()
+    q_gt = np.asarray(ba.params_gt.q)
+    rel_est = quat.relative(jnp.asarray(q_est[:-1]), jnp.asarray(q_est[1:]))
+    rel_gt = quat.relative(jnp.asarray(q_gt[:-1]), jnp.asarray(q_gt[1:]))
+    ang_est = np.linalg.norm(np.asarray(quat.to_axis_angle(rel_est)), axis=-1)
+    ang_gt = np.linalg.norm(np.asarray(quat.to_axis_angle(rel_gt)), axis=-1)
+    np.testing.assert_allclose(ang_est, ang_gt, atol=3e-3)
